@@ -1,0 +1,236 @@
+"""Observation collectors.
+
+Vectorized replacements for the reference's per-agent observation systems
+(reference: src/sim.cpp:168-280, 462-555, 769-783; src/knn.hpp).  Each
+function returns the exact export layout of the corresponding tensor
+(reference: src/mgr.cpp:718-902, catalogued in SURVEY.md Appendix B), so the
+env layer and datatype views consume identical ABI.
+
+The K-nearest road selection replaces the reference's per-agent binary heap
+with one ``top_k`` (or TPU-native ``approx_max_k``) over the [W, A, R]
+distance lattice; the observation set is consumed permutation-invariantly, so
+candidate order inside K is unspecified in both implementations.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gpudrive_lab_tpu import constants as C
+from gpudrive_lab_tpu.core.geometry import (
+    quat_yaw_diff,
+    rotate_into_frame,
+    yaw_to_quat_wxyz,
+)
+from gpudrive_lab_tpu.core.types import Params, RoadObsAlgorithm, Scene, SimState
+
+
+def self_observation(scene: Scene, state: SimState) -> jnp.ndarray:
+    """[W, A, 8]: speed, size(3), ego-frame rel goal(2), collision, id
+    (reference: src/sim.cpp:168-186; layout src/types.hpp:189-208).
+    Padding rows are SelfObservation::zero() (id = -1)."""
+    agents = scene.agents
+    speed = state.speed
+    rel_goal = rotate_into_frame(agents.goal - state.pos, state.yaw)
+    obs = jnp.concatenate(
+        [
+            speed[..., None],
+            agents.size,
+            rel_goal,
+            (state.collided != 0).astype(jnp.float32)[..., None],
+            agents.aid.astype(jnp.float32)[..., None],
+        ],
+        axis=-1,
+    )
+    zero = jnp.zeros_like(obs).at[..., 7].set(-1.0)
+    return jnp.where(agents.valid[..., None], obs, zero)
+
+
+def partner_observations(
+    scene: Scene, state: SimState, params: Params
+) -> jnp.ndarray:
+    """[W, A, A-1, 9]: speed, ego-frame rel pos(2), rel heading, size(3),
+    type, id (reference: src/sim.cpp:188-240).  Out-of-radius partners are
+    zeroed with id=-1; never-created slots get id=-2; rows of padded ego
+    agents are all zero()/id=-1 (src/level_gen.cpp:322-325)."""
+    agents = scene.agents
+    A = state.pos.shape[1]
+
+    rel = state.pos[:, None, :, :] - state.pos[:, :, None, :]  # [W,ego,other,2]
+    rel_ego = rotate_into_frame(rel, state.yaw[:, :, None])
+    dist = jnp.linalg.norm(rel_ego, axis=-1)
+    rel_heading = quat_yaw_diff(state.yaw[:, :, None], state.yaw[:, None, :])
+
+    obs = jnp.concatenate(
+        [
+            jnp.broadcast_to(state.speed[:, None, :], dist.shape)[..., None],
+            rel_ego,
+            rel_heading[..., None],
+            jnp.broadcast_to(
+                agents.size[:, None], rel.shape[:3] + (3,)
+            ),
+            jnp.broadcast_to(
+                agents.etype[:, None].astype(jnp.float32), dist.shape
+            )[..., None],
+            jnp.broadcast_to(
+                agents.aid[:, None].astype(jnp.float32), dist.shape
+            )[..., None],
+        ],
+        axis=-1,
+    )  # [W, A, A, 9]
+
+    in_radius = dist <= params.observation_radius
+    zero = jnp.zeros((), jnp.float32)
+    obs = jnp.where(in_radius[..., None], obs, zero)
+    # (id column for out-of-radius slots becomes -1 after slot packing.)
+
+    # Pack "all agents except self" in index order: slot k of ego i reads
+    # agent k + (k >= i) (the OtherAgents wiring, src/level_gen.cpp:450-464).
+    k = jnp.arange(A - 1)
+    src = k[None, :] + (k[None, :] >= jnp.arange(A)[:, None])  # [A, A-1]
+    packed = jnp.take_along_axis(obs, src[None, :, :, None], axis=2)
+    packed_in_radius = jnp.take_along_axis(in_radius, src[None], axis=2)
+
+    # Existing-slot predicate: slot k valid iff k < numAgents-1 for real egos
+    # (src/sim.cpp:199,236-239).
+    n = scene.num_agents[:, None, None]
+    exists = k[None, None, :] < (n - 1)
+
+    id_col = jnp.where(
+        exists, jnp.where(packed_in_radius, packed[..., 8], -1.0), -2.0
+    )
+    packed = jnp.where(exists[..., None], packed, zero)
+    packed = packed.at[..., 8].set(id_col)
+
+    # Padded ego rows: PartnerObservation::zero() everywhere (id = -1).
+    ego_valid = agents.valid[:, :, None, None]
+    zero_row = jnp.zeros(9, jnp.float32).at[8].set(-1.0)
+    return jnp.where(ego_valid, packed, zero_row)
+
+
+def _road_observation_features(scene: Scene, state: SimState) -> tuple:
+    """Ego-frame MapObservation features for all road entities:
+    returns ([W, A, R, 9] features, [W, A, R] dist).  Layout: pos(2),
+    scale(3), heading, type, id, mapType (src/types.hpp:210-234)."""
+    roads = scene.roads
+    rel = roads.pos[:, None, :, 0:2] - state.pos[:, :, None, :]
+    rel_ego = rotate_into_frame(rel, state.yaw[:, :, None])
+    dist = jnp.linalg.norm(rel_ego, axis=-1)
+    heading = quat_yaw_diff(state.yaw[:, :, None], roads.yaw[:, None, :])
+    shape3 = rel_ego.shape[:3]
+    feats = jnp.concatenate(
+        [
+            rel_ego,
+            jnp.broadcast_to(roads.scale[:, None], shape3 + (3,)),
+            heading[..., None],
+            jnp.broadcast_to(
+                roads.etype[:, None].astype(jnp.float32), shape3
+            )[..., None],
+            jnp.broadcast_to(
+                roads.rid[:, None].astype(jnp.float32), shape3
+            )[..., None],
+            jnp.broadcast_to(
+                roads.map_type[:, None].astype(jnp.float32), shape3
+            )[..., None],
+        ],
+        axis=-1,
+    )
+    return feats, dist
+
+
+def agent_map_observations(
+    scene: Scene, state: SimState, params: Params
+) -> jnp.ndarray:
+    """[W, A, K, 9] ego-frame road observations.
+
+    KNEAREST: K nearest road entities by ego distance, then radius filter and
+    zero fill (reference: src/knn.hpp:103-158).  The reference's KNN filler
+    zeroes id/mapType (knn.hpp:19-28), unlike MapObservation::zero().
+
+    LINEAR: first K entities (by index) within the radius, zero-filled with
+    MapObservation::zero() — id/mapType = -1 (reference: src/sim.cpp:259-280).
+    """
+    K = C.MAX_AGENT_MAP_OBS
+    feats, dist = _road_observation_features(scene, state)
+    road_valid = scene.roads.valid[:, None, :]
+
+    if params.road_obs_algorithm == RoadObsAlgorithm.KNEAREST:
+        score = jnp.where(road_valid, dist * dist, jnp.inf)
+        if params.approx_top_k:
+            neg, idx = jax.lax.approx_max_k(-score, K, recall_target=0.99)
+        else:
+            neg, idx = jax.lax.top_k(-score, K)
+        sel = jnp.take_along_axis(feats, idx[..., None], axis=2)
+        sel_dist = jnp.take_along_axis(dist, idx, axis=2)
+        sel_valid = jnp.take_along_axis(road_valid | jnp.zeros_like(dist, bool), idx, axis=2)
+        keep = sel_valid & (sel_dist <= params.observation_radius)
+        # KNN filler: all-zero row including id/mapType (knn.hpp:19-28).
+        out = jnp.where(keep[..., None], sel, 0.0)
+    else:
+        within = road_valid & (dist <= params.observation_radius)
+        # Slot index = rank among kept entities, in entity order
+        # (src/sim.cpp:262-276).
+        slot = jnp.cumsum(within, axis=-1) - 1
+        keep = within & (slot < K)
+        tgt = jnp.where(keep, slot, K)  # K = discard bucket
+        out = jnp.zeros(feats.shape[:2] + (K + 1, 9), feats.dtype)
+        out = out.at[
+            jnp.arange(feats.shape[0])[:, None, None],
+            jnp.arange(feats.shape[1])[None, :, None],
+            tgt,
+        ].set(jnp.where(keep[..., None], feats, 0.0))
+        out = out[:, :, :K]
+        # Linear filler: MapObservation::zero() has id=-1, mapType=-1.
+        filled = jnp.arange(K)[None, None, :] < jnp.sum(
+            keep, axis=-1, keepdims=True
+        )
+        filler = jnp.zeros(9, feats.dtype).at[7].set(-1.0).at[8].set(-1.0)
+        out = jnp.where(filled[..., None], out, filler)
+
+    # Padded ego agents: MapObservation::zero() rows
+    # (src/level_gen.cpp:315-318).
+    pad_filler = jnp.zeros(9, feats.dtype).at[7].set(-1.0).at[8].set(-1.0)
+    return jnp.where(
+        scene.agents.valid[:, :, None, None], out, pad_filler
+    )
+
+
+def map_observation(scene: Scene) -> jnp.ndarray:
+    """[W, R, 9] world-frame (demeaned) MapObservation rows — the per-road
+    static export (reference: src/level_gen.hpp:59-65, mgr.cpp map_observation
+    export).  Padding rows are MapObservation::zero()."""
+    roads = scene.roads
+    feats = jnp.concatenate(
+        [
+            roads.pos[..., 0:2],
+            roads.scale,
+            roads.yaw[..., None],
+            roads.etype.astype(jnp.float32)[..., None],
+            roads.rid.astype(jnp.float32)[..., None],
+            roads.map_type.astype(jnp.float32)[..., None],
+        ],
+        axis=-1,
+    )
+    filler = jnp.zeros(9, jnp.float32).at[7].set(-1.0).at[8].set(-1.0)
+    return jnp.where(roads.valid[..., None], feats, filler)
+
+
+def absolute_self_observation(scene: Scene, state: SimState) -> jnp.ndarray:
+    """[W, A, 14]: pos(3), quat wxyz(4), yaw, goal(2), size(3), id
+    (reference: src/sim.cpp:769-783; src/types.hpp:389-406)."""
+    agents = scene.agents
+    quat = yaw_to_quat_wxyz(state.yaw)
+    obs = jnp.concatenate(
+        [
+            state.pos,
+            state.z[..., None],
+            quat,
+            state.yaw[..., None],
+            agents.goal,
+            agents.size,
+            agents.aid.astype(jnp.float32)[..., None],
+        ],
+        axis=-1,
+    )
+    return jnp.where(agents.valid[..., None], obs, 0.0)
