@@ -1,0 +1,44 @@
+"""Test configuration: force CPU with 8 virtual devices so sharding tests run
+without TPU hardware (mirrors how the reference gates its Python suite on the
+CPU ExecMode backend, reference: conftest.py:6-21, pytest.ini)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_SCENE = "/root/reference/tests/pytest_data/test.json"
+EXAMPLE_SCENES_DIR = "/root/reference/data/processed/examples"
+
+
+@pytest.fixture(scope="session")
+def reference_scene_path():
+    if not os.path.exists(REFERENCE_SCENE):
+        pytest.skip("reference test scene not available")
+    return REFERENCE_SCENE
+
+
+@pytest.fixture(scope="session")
+def example_scene_paths():
+    if not os.path.isdir(EXAMPLE_SCENES_DIR):
+        pytest.skip("reference example scenes not available")
+    return sorted(
+        os.path.join(EXAMPLE_SCENES_DIR, f)
+        for f in os.listdir(EXAMPLE_SCENES_DIR)
+        if f.endswith(".json")
+    )
+
+
+def to_np(tree):
+    """Device pytree -> numpy (host logic must stay in numpy here: the first
+    eager jnp reduction in this environment costs ~100s)."""
+    import jax
+
+    return jax.tree.map(np.asarray, tree)

@@ -1,0 +1,176 @@
+"""Observation collector tests: KNN correctness vs brute force, radius
+filtering, partner-slot padding semantics (id -1 vs -2), and export layouts
+(reference systems: src/sim.cpp:168-280; export ABI: SURVEY.md Appendix B)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpudrive_lab_tpu import constants as C
+from gpudrive_lab_tpu.core import observations as obs
+from gpudrive_lab_tpu.core import step as stepmod
+from gpudrive_lab_tpu.core.types import (
+    DynamicsModel,
+    Params,
+    RewardType,
+    RoadObsAlgorithm,
+)
+from gpudrive_lab_tpu.scene.compiler import build_scene
+
+PARAMS = Params(
+    dynamics_model=DynamicsModel.CLASSIC,
+    reward_type=RewardType.DISTANCE_BASED,
+    dist_to_goal_threshold=1.0,
+    observation_radius=50.0,
+    polyline_reduction_threshold=0.5,
+    ignore_non_vehicles=True,
+)
+
+
+@pytest.fixture(scope="module")
+def scene_state(reference_scene_path):
+    scene = build_scene([reference_scene_path], PARAMS)
+    state = jax.jit(stepmod.reset, static_argnames="params")(
+        scene, None, PARAMS
+    )
+    return scene, state
+
+
+def test_self_obs_layout(scene_state):
+    scene, state = scene_state
+    so = np.asarray(jax.jit(obs.self_observation)(scene, state))
+    assert so.shape == (1, C.MAX_AGENTS, 8)
+    n = int(np.asarray(scene.num_agents)[0])
+    size = np.asarray(scene.agents.size)
+    # speed at t=0 equals |traj_vel[0]| for non-static agents
+    v0 = np.linalg.norm(np.asarray(scene.agents.traj_vel)[0, :n, 0], axis=-1)
+    static = np.asarray(scene.agents.static)[0, :n]
+    np.testing.assert_allclose(so[0, :n, 0], np.where(static, 0, v0), atol=1e-5)
+    np.testing.assert_allclose(so[0, :n, 1:4], size[0, :n], atol=1e-6)
+    # padding rows: SelfObservation::zero() with id=-1
+    assert (so[0, n:, 7] == -1).all()
+    assert (so[0, n:, :7] == 0).all()
+
+
+def test_partner_obs_padding_ids(scene_state):
+    scene, state = scene_state
+    po = np.asarray(
+        jax.jit(obs.partner_observations, static_argnames="params")(
+            scene, state, PARAMS
+        )
+    )
+    assert po.shape == (1, C.MAX_AGENTS, C.MAX_AGENTS - 1, 9)
+    n = int(np.asarray(scene.num_agents)[0])
+    # slots beyond numAgents-1 for real egos: zero_nonexist (id=-2)
+    assert (po[0, :n, n - 1 :, 8] == -2).all()
+    # rows of padded egos: zero() (id=-1)
+    assert (po[0, n:, :, 8] == -1).all()
+    # existing slots: either real id (>=0) or zeroed-out-of-radius (-1)
+    ids = po[0, :n, : n - 1, 8]
+    assert ((ids >= 0) | (ids == -1)).all()
+
+
+def test_partner_obs_values_vs_bruteforce(scene_state):
+    scene, state = scene_state
+    po = np.asarray(
+        jax.jit(obs.partner_observations, static_argnames="params")(
+            scene, state, PARAMS
+        )
+    )
+    n = int(np.asarray(scene.num_agents)[0])
+    pos = np.asarray(state.pos)[0]
+    yaw = np.asarray(state.yaw)[0]
+    vel = np.asarray(state.vel)[0]
+    aid = np.asarray(scene.agents.aid)[0]
+    for i in range(min(n, 4)):
+        k = 0
+        for j in range(n):
+            if j == i:
+                continue
+            rel = pos[j] - pos[i]
+            c, s = np.cos(yaw[i]), np.sin(yaw[i])
+            rel_ego = np.array([c * rel[0] + s * rel[1], -s * rel[0] + c * rel[1]])
+            if np.linalg.norm(rel_ego) > PARAMS.observation_radius:
+                assert po[0, i, k, 8] == -1
+            else:
+                np.testing.assert_allclose(po[0, i, k, 1:3], rel_ego, atol=1e-4)
+                assert po[0, i, k, 8] == aid[j]
+                assert po[0, i, k, 0] == pytest.approx(
+                    np.linalg.norm(vel[j]), abs=1e-5
+                )
+            k += 1
+
+
+def test_knn_matches_bruteforce(scene_state):
+    scene, state = scene_state
+    mo = np.asarray(
+        jax.jit(obs.agent_map_observations, static_argnames="params")(
+            scene, state, PARAMS
+        )
+    )
+    assert mo.shape == (1, C.MAX_AGENTS, C.MAX_AGENT_MAP_OBS, 9)
+    n = int(np.asarray(scene.num_agents)[0])
+    nr = int(np.asarray(scene.num_roads)[0])
+    rpos = np.asarray(scene.roads.pos)[0, :nr, :2]
+    pos = np.asarray(state.pos)[0]
+
+    for i in range(min(n, 4)):
+        d = np.linalg.norm(rpos - pos[i], axis=-1)
+        expected = np.sort(d[d <= PARAMS.observation_radius])[: C.MAX_AGENT_MAP_OBS]
+        got_rel = mo[0, i, :, :2]
+        got_d = np.linalg.norm(got_rel, axis=-1)
+        got_types = mo[0, i, :, 7]
+        kept = got_d[got_d > 0]
+        assert len(kept) == len(expected)
+        np.testing.assert_allclose(np.sort(kept), expected, atol=1e-3)
+        # filler rows are all-zero (KNN filler zeroes id/mapType too)
+        empty = mo[0, i][got_d == 0]
+        if len(empty):
+            assert (empty == 0).all()
+
+
+def test_linear_algorithm_first_k_in_radius(scene_state):
+    scene, state = scene_state
+    params = Params(
+        **{
+            **PARAMS.__dict__,
+            "road_obs_algorithm": RoadObsAlgorithm.LINEAR,
+        }
+    )
+    mo = np.asarray(
+        jax.jit(obs.agent_map_observations, static_argnames="params")(
+            scene, state, params
+        )
+    )
+    n = int(np.asarray(scene.num_agents)[0])
+    nr = int(np.asarray(scene.num_roads)[0])
+    rpos = np.asarray(scene.roads.pos)[0, :nr, :2]
+    pos = np.asarray(state.pos)[0]
+    for i in range(min(n, 4)):
+        d = np.linalg.norm(rpos - pos[i], axis=-1)
+        within = np.where(d <= params.observation_radius)[0][: C.MAX_AGENT_MAP_OBS]
+        got_d = np.linalg.norm(mo[0, i, :, :2], axis=-1)
+        np.testing.assert_allclose(
+            got_d[: len(within)], d[within], atol=1e-3
+        )
+        # linear filler rows carry MapObservation::zero(): id = mapType = -1
+        if len(within) < C.MAX_AGENT_MAP_OBS:
+            assert (mo[0, i, len(within):, 7] == -1).all()
+
+
+def test_absolute_obs_matches_state(scene_state):
+    scene, state = scene_state
+    ao = np.asarray(jax.jit(obs.absolute_self_observation)(scene, state))
+    assert ao.shape == (1, C.MAX_AGENTS, 14)
+    n = int(np.asarray(scene.num_agents)[0])
+    np.testing.assert_allclose(ao[0, :n, :2], np.asarray(state.pos)[0, :n])
+    np.testing.assert_allclose(ao[0, :n, 7], np.asarray(state.yaw)[0, :n])
+    np.testing.assert_allclose(
+        ao[0, :n, 8:10], np.asarray(scene.agents.goal)[0, :n]
+    )
+    # quaternion encodes the yaw
+    w, z = ao[0, :n, 3], ao[0, :n, 6]
+    np.testing.assert_allclose(
+        2 * np.arctan2(z, w), np.asarray(state.yaw)[0, :n], atol=1e-5
+    )
