@@ -87,6 +87,8 @@ MAX_VEH_WIDTH = 15.0
 MAX_VEH_HEIGHT = 10.0
 MIN_REL_GOAL_COORD = -1000.0
 MAX_REL_GOAL_COORD = 1000.0
+MIN_REL_AGENT_POS = -1000.0
+MAX_REL_AGENT_POS = 1000.0
 MAX_ORIENTATION_RAD = 2.0 * math.pi
 MIN_RG_COORD = -1000.0
 MAX_RG_COORD = 1000.0

@@ -1,0 +1,115 @@
+"""Late-fusion actor-critic policy.
+
+Flax re-implementation of the reference's PufferLib policy
+(reference: gpudrive/networks/late_fusion.py:69-248): per-modality MLP
+embeddings (ego 6(+3)->64, partner 6->64, road 13->64), max-pool over
+entities, shared head 192->128, actor 128->action_dim logits + critic scalar.
+
+TPU notes: all matmuls carry ``preferred_element_type`` float32 and the
+module supports bfloat16 compute (params stay f32) — the embedding GEMMs are
+the MXU work in the rollout hot path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from gpudrive_lab_tpu import constants as C
+
+
+@dataclasses.dataclass(frozen=True)
+class PolicyConfig:
+    action_dim: int = 91  # 7 accel x 13 steer (reference default)
+    input_dim: int = 64
+    hidden_dim: int = 128
+    act_func: str = "tanh"
+    ego_feat_dim: int = C.EGO_FEAT_DIM  # +3 when reward_conditioned
+    max_agents: int = C.MAX_AGENTS
+    top_k_roads: int = C.MAX_AGENT_MAP_OBS
+    dtype: Any = jnp.float32
+
+    @property
+    def obs_dim(self) -> int:
+        return (
+            self.ego_feat_dim
+            + (self.max_agents - 1) * C.PARTNER_FEAT_DIM
+            + self.top_k_roads * C.ROAD_GRAPH_FEAT_DIM
+        )
+
+
+class _Embed(nn.Module):
+    """Linear -> LayerNorm -> act -> Linear (reference embeds,
+    late_fusion.py:117-144)."""
+
+    dim: int
+    act: str
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.dim, dtype=self.dtype)(x)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = nn.tanh(x) if self.act == "tanh" else nn.gelu(x)
+        return nn.Dense(self.dim, dtype=self.dtype)(x)
+
+
+class LateFusionPolicy(nn.Module):
+    config: PolicyConfig = PolicyConfig()
+
+    @nn.compact
+    def __call__(self, obs_flat: jnp.ndarray):
+        """obs_flat: [..., obs_dim] -> (logits [..., action_dim],
+        value [...])."""
+        cfg = self.config
+        e = cfg.ego_feat_dim
+        p = (cfg.max_agents - 1) * C.PARTNER_FEAT_DIM
+        ego = obs_flat[..., :e]
+        partner = obs_flat[..., e : e + p].reshape(
+            obs_flat.shape[:-1] + (cfg.max_agents - 1, C.PARTNER_FEAT_DIM)
+        )
+        road = obs_flat[..., e + p :].reshape(
+            obs_flat.shape[:-1] + (cfg.top_k_roads, C.ROAD_GRAPH_FEAT_DIM)
+        )
+
+        ego_embed = _Embed(cfg.input_dim, cfg.act_func, cfg.dtype)(ego)
+        partner_embed = _Embed(cfg.input_dim, cfg.act_func, cfg.dtype)(
+            partner
+        ).max(axis=-2)
+        road_embed = _Embed(cfg.input_dim, cfg.act_func, cfg.dtype)(road).max(
+            axis=-2
+        )
+
+        hidden = nn.Dense(cfg.hidden_dim, dtype=cfg.dtype)(
+            jnp.concatenate([ego_embed, partner_embed, road_embed], axis=-1)
+        )
+        logits = nn.Dense(
+            cfg.action_dim,
+            dtype=cfg.dtype,
+            kernel_init=nn.initializers.orthogonal(0.01),
+        )(hidden)
+        value = nn.Dense(
+            1, dtype=cfg.dtype, kernel_init=nn.initializers.orthogonal(1.0)
+        )(hidden)
+        return logits.astype(jnp.float32), value[..., 0].astype(jnp.float32)
+
+
+def sample_logits(rng, logits, action=None, deterministic=False):
+    """Categorical sample + logprob + entropy
+    (reference: late_fusion.py sample_logits via pufferlib)."""
+    log_probs = jax.nn.log_softmax(logits)
+    if action is None:
+        if deterministic:
+            action = jnp.argmax(logits, axis=-1)
+        else:
+            action = jax.random.categorical(rng, logits, axis=-1)
+    logprob = jnp.take_along_axis(
+        log_probs, action[..., None].astype(jnp.int32), axis=-1
+    )[..., 0]
+    probs = jnp.exp(log_probs)
+    entropy = -jnp.sum(probs * log_probs, axis=-1)
+    return action, logprob, entropy

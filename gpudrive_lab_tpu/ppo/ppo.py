@@ -1,0 +1,279 @@
+"""On-device PPO.
+
+TPU-native replacement for the reference's PufferLib/CleanRL PPO
+(reference: gpudrive/integrations/puffer/ppo.py).  The entire
+rollout -> GAE -> minibatch-update iteration is one jit-compiled program:
+
+  * rollout: ``lax.scan`` over env steps with the policy forward fused into
+    the same XLA program as the simulator step — actor and learner never
+    leave the chip (the reference round-trips rollouts through CPU numpy,
+    ppo.py:568-573, and runs GAE in Cython; here GAE is a reverse scan).
+  * auto-reset: worlds whose agents are all done blend back to the
+    precomputed post-reset state inside the scan ("reset-as-select").
+  * update: epochs x minibatches over the time axis (the world/agent axes
+    stay sharded across devices under pjit; gradients all-reduce over the
+    mesh automatically).
+
+Hyperparameter defaults mirror baselines/ppo/config/ppo_base_puffer.yaml.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gpudrive_lab_tpu import constants as C
+from gpudrive_lab_tpu.core import step as stepmod
+from gpudrive_lab_tpu.core.types import Params, Scene, SimState
+from gpudrive_lab_tpu.env.env_jax import ObsSpec, flat_observation
+from gpudrive_lab_tpu.networks.late_fusion import (
+    LateFusionPolicy,
+    PolicyConfig,
+    sample_logits,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    """reference: ppo_base_puffer.yaml `train:` section."""
+
+    rollout_len: int = 32
+    learning_rate: float = 3e-4
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    update_epochs: int = 4
+    num_minibatches: int = 4
+    norm_adv: bool = True
+    clip_coef: float = 0.2
+    clip_vloss: bool = False
+    vf_clip_coef: float = 0.2
+    ent_coef: float = 1e-4
+    vf_coef: float = 0.3
+    max_grad_norm: float = 0.5
+
+
+class Transition(NamedTuple):
+    obs: jnp.ndarray  # [W, A, D]
+    action: jnp.ndarray  # [W, A] int32
+    logprob: jnp.ndarray  # [W, A]
+    value: jnp.ndarray  # [W, A]
+    reward: jnp.ndarray  # [W, A]
+    done: jnp.ndarray  # [W, A] (post-step)
+    mask: jnp.ndarray  # [W, A] valid training sample (controlled & alive)
+
+
+class EnvCarry(NamedTuple):
+    state: SimState
+    world_time_steps: jnp.ndarray
+    rng: jnp.ndarray
+
+
+def make_ppo_funcs(
+    policy: LateFusionPolicy,
+    params: Params,
+    spec: ObsSpec,
+    action_table: jnp.ndarray,
+    reward_type: str,
+    config: PPOConfig,
+):
+    """Build (init_fn, train_step_fn).
+
+    train_step(scene, variables, opt_state, carry, reward_weights) ->
+    (variables, opt_state, carry, metrics).  Everything jittable; shard the
+    Scene/SimState leaves over the world axis for data parallelism.
+    """
+    from gpudrive_lab_tpu.env.env_jax import shaped_rewards
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(config.max_grad_norm),
+        optax.adam(config.learning_rate, eps=1e-5),
+    )
+
+    def policy_forward(variables, obs, rng, action=None):
+        logits, value = policy.apply(variables, obs)
+        a, logp, ent = sample_logits(rng, logits, action)
+        return a, logp, ent, value
+
+    def rollout(scene, variables, carry: EnvCarry, fresh: SimState,
+                reward_weights):
+        controlled = scene.agents.controlled
+
+        def body(carry: EnvCarry, _):
+            rng, k_act = jax.random.split(carry.rng)
+            obs, _, _ = flat_observation(
+                scene, carry.state, params, spec, reward_weights
+            )
+            a, logp, _, value = policy_forward(variables, obs, k_act)
+            mask = controlled & (carry.state.done == 0)
+            state = stepmod.step(
+                scene,
+                carry.state,
+                jnp.zeros(a.shape + (C.ACTION_DIM,), jnp.float32)
+                .at[..., :3]
+                .set(action_table[a]),
+                params,
+            )
+            reward = shaped_rewards(
+                scene, state, params, reward_type, reward_weights,
+                carry.world_time_steps,
+            )
+            done = (state.done != 0).astype(jnp.float32)
+            t = Transition(
+                obs=obs, action=a, logprob=logp, value=value, reward=reward,
+                done=done, mask=mask,
+            )
+            # Auto-reset finished worlds (all valid agents done), like the
+            # puffer wrapper's async reset (reference: env_puffer.py:265-386).
+            world_done = jnp.all(
+                (state.done != 0) | ~scene.agents.valid, axis=1
+            )
+            blend = lambda f, s: jnp.where(
+                world_done.reshape((-1,) + (1,) * (s.ndim - 1)), f, s
+            )
+            state = jax.tree.map(blend, fresh, state)
+            wts = jnp.where(world_done, 0, carry.world_time_steps + 1)
+            return EnvCarry(state, wts, rng), t
+
+        carry, traj = jax.lax.scan(body, carry, None, length=config.rollout_len)
+        return carry, traj
+
+    def gae(traj: Transition, last_value):
+        """Reverse-scan GAE (replaces the reference's Cython compute_gae,
+        integrations/puffer/ppo.py:27-32,237-245)."""
+        next_values = jnp.concatenate(
+            [traj.value[1:], last_value[None]], axis=0
+        )
+
+        def scan_body(adv, xs):
+            reward, value, next_value, done = xs
+            delta = reward + config.gamma * next_value * (1.0 - done) - value
+            adv = delta + config.gamma * config.gae_lambda * (1.0 - done) * adv
+            return adv, adv
+
+        _, advs = jax.lax.scan(
+            scan_body,
+            jnp.zeros_like(last_value),
+            (traj.reward, traj.value, next_values, traj.done),
+            reverse=True,
+        )
+        return advs, advs + traj.value
+
+    def loss_fn(variables, mb, rng):
+        _, newlogp, entropy, newvalue = policy_forward(
+            variables, mb["obs"], rng, action=mb["action"]
+        )
+        logratio = newlogp - mb["logprob"]
+        ratio = jnp.exp(logratio)
+        m = mb["mask"].astype(jnp.float32)
+        msum = jnp.maximum(m.sum(), 1.0)
+
+        adv = mb["adv"]
+        if config.norm_adv:
+            mean = (adv * m).sum() / msum
+            var = (((adv - mean) ** 2) * m).sum() / msum
+            adv = (adv - mean) * jax.lax.rsqrt(var + 1e-8)
+
+        pg1 = -adv * ratio
+        pg2 = -adv * jnp.clip(
+            ratio, 1.0 - config.clip_coef, 1.0 + config.clip_coef
+        )
+        pg_loss = (jnp.maximum(pg1, pg2) * m).sum() / msum
+
+        if config.clip_vloss:
+            v_clipped = mb["value"] + jnp.clip(
+                newvalue - mb["value"],
+                -config.vf_clip_coef,
+                config.vf_clip_coef,
+            )
+            v_loss = (
+                0.5
+                * jnp.maximum(
+                    (newvalue - mb["ret"]) ** 2, (v_clipped - mb["ret"]) ** 2
+                )
+                * m
+            ).sum() / msum
+        else:
+            v_loss = (0.5 * (newvalue - mb["ret"]) ** 2 * m).sum() / msum
+
+        ent_loss = (entropy * m).sum() / msum
+        loss = pg_loss - config.ent_coef * ent_loss + config.vf_coef * v_loss
+        approx_kl = (((ratio - 1.0) - logratio) * m).sum() / msum
+        return loss, {
+            "pg_loss": pg_loss,
+            "v_loss": v_loss,
+            "entropy": ent_loss,
+            "approx_kl": approx_kl,
+        }
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def train_step(scene, variables, opt_state, carry: EnvCarry,
+                   fresh: SimState, reward_weights):
+        carry, traj = rollout(scene, variables, carry, fresh, reward_weights)
+        last_obs, _, _ = flat_observation(
+            scene, carry.state, params, spec, reward_weights
+        )
+        _, last_value = policy.apply(variables, last_obs)
+        advs, rets = gae(traj, last_value)
+
+        batch = {
+            "obs": traj.obs,
+            "action": traj.action,
+            "logprob": traj.logprob,
+            "value": traj.value,
+            "adv": advs,
+            "ret": rets,
+            "mask": traj.mask,
+        }
+
+        T = config.rollout_len
+        M = config.num_minibatches
+        assert T % M == 0, "rollout_len must divide num_minibatches"
+
+        def epoch_body(carry_in, rng_e):
+            variables, opt_state = carry_in
+            perm = jax.random.permutation(rng_e, T)
+
+            def mb_body(carry_mb, mb_idx):
+                variables, opt_state = carry_mb
+                take = lambda x: jnp.take(x, mb_idx, axis=0).reshape(
+                    (-1,) + x.shape[3:]
+                )
+                mb = {k: take(v) for k, v in batch.items()}
+                (loss, aux), grads = grad_fn(
+                    variables, mb, jax.random.fold_in(rng_e, mb_idx[0])
+                )
+                updates, opt_state = tx.update(grads, opt_state, variables)
+                variables = optax.apply_updates(variables, updates)
+                return (variables, opt_state), aux
+
+            mb_indices = perm.reshape(M, T // M)
+            (variables, opt_state), auxes = jax.lax.scan(
+                mb_body, (variables, opt_state), mb_indices
+            )
+            return (variables, opt_state), auxes
+
+        rngs = jax.random.split(carry.rng, config.update_epochs)
+        (variables, opt_state), auxes = jax.lax.scan(
+            epoch_body, (variables, opt_state), rngs
+        )
+
+        metrics = jax.tree.map(lambda x: x.mean(), auxes)
+        metrics["mean_reward"] = (traj.reward * traj.mask).sum() / jnp.maximum(
+            traj.mask.sum(), 1
+        )
+        metrics["samples"] = traj.mask.sum()
+        return variables, opt_state, carry, metrics
+
+    def init_fn(rng, scene, example_obs):
+        variables = policy.init(rng, example_obs)
+        opt_state = tx.init(variables)
+        return variables, opt_state
+
+    return init_fn, train_step

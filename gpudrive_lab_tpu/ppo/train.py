@@ -1,0 +1,154 @@
+"""PPO training entry point.
+
+TPU-native analogue of the reference's CLI trainer
+(reference: baselines/ppo/ppo_pufferlib.py): wires the scene dataloader,
+env configuration, policy, and the jit-compiled PPO train step; supports
+periodic scene resampling (the analogue of resample_scenario_batch ->
+Manager::setMaps) and simple checkpointing.
+
+Run: python -m gpudrive_lab_tpu.ppo.train --data-dir <scenes> --num-worlds 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pickle
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpudrive_lab_tpu.core import step as stepmod
+from gpudrive_lab_tpu.env.config import EnvConfig
+from gpudrive_lab_tpu.env.dataset import SceneDataLoader
+from gpudrive_lab_tpu.env.env_jax import GPUDriveTPUEnv
+from gpudrive_lab_tpu.networks.late_fusion import (
+    LateFusionPolicy,
+    PolicyConfig,
+)
+from gpudrive_lab_tpu.ppo.ppo import EnvCarry, PPOConfig, make_ppo_funcs
+
+
+def build_trainer(env: GPUDriveTPUEnv, ppo_config: PPOConfig,
+                  policy_config: PolicyConfig | None = None, seed: int = 42):
+    """Returns (policy, variables, opt_state, carry, fresh, train_fn)."""
+    policy_config = policy_config or PolicyConfig(
+        action_dim=env.action_space_n
+    )
+    policy = LateFusionPolicy(policy_config)
+    init_fn, train_step = make_ppo_funcs(
+        policy,
+        env.params,
+        env.spec,
+        env.action_keys,
+        env.config.reward_type,
+        ppo_config,
+    )
+    rng = jax.random.PRNGKey(seed)
+    example_obs = jnp.zeros((1, policy_config.obs_dim), jnp.float32)
+    variables, opt_state = init_fn(rng, env.scene, example_obs)
+    fresh = jax.jit(stepmod.reset, static_argnames="params")(
+        env.scene, None, env.params
+    )
+    carry = EnvCarry(
+        state=jax.tree.map(jnp.copy, fresh),
+        world_time_steps=jnp.zeros(env.num_worlds, jnp.int32),
+        rng=rng,
+    )
+    # Donate params/opt/carry buffers (carry holds a copy of `fresh`, which
+    # is passed separately and must stay alive across iterations).
+    train_fn = jax.jit(train_step, donate_argnums=(1, 2, 3))
+    return policy, variables, opt_state, carry, fresh, train_fn
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--data-dir", default="/root/reference/data/processed/examples")
+    p.add_argument("--num-worlds", type=int, default=4)
+    p.add_argument("--dataset-size", type=int, default=1000)
+    p.add_argument("--total-timesteps", type=int, default=2_000_000)
+    p.add_argument("--rollout-len", type=int, default=32)
+    p.add_argument("--resample-interval", type=int, default=0,
+                   help="agent-steps between scene-batch swaps (0=never)")
+    p.add_argument("--checkpoint-path", default="runs")
+    p.add_argument("--checkpoint-interval", type=int, default=200)
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args()
+
+    loader = SceneDataLoader(
+        root=args.data_dir,
+        batch_size=args.num_worlds,
+        dataset_size=args.dataset_size,
+        sample_with_replacement=True,
+        seed=args.seed,
+    )
+    cfg = EnvConfig(
+        num_worlds=args.num_worlds,
+        reward_type="weighted_combination",
+        collision_weight=-0.75,
+        off_road_weight=-0.75,
+        goal_achieved_weight=1.0,
+        dynamics_model="classic",
+        collision_behavior="ignore",
+    )
+    env = GPUDriveTPUEnv(cfg, data_loader=loader)
+    ppo_cfg = PPOConfig(rollout_len=args.rollout_len)
+    policy, variables, opt_state, carry, fresh, train_fn = build_trainer(
+        env, ppo_cfg, seed=args.seed
+    )
+
+    ckpt_dir = Path(args.checkpoint_path)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+
+    global_step = 0
+    iteration = 0
+    t0 = time.time()
+    while global_step < args.total_timesteps:
+        if (
+            args.resample_interval
+            and global_step > 0
+            and global_step % args.resample_interval < args.rollout_len
+        ):
+            env.swap_data_batch()
+            fresh = jax.jit(stepmod.reset, static_argnames="params")(
+                env.scene, None, env.params
+            )
+            carry = EnvCarry(
+                state=fresh, world_time_steps=carry.world_time_steps,
+                rng=carry.rng,
+            )
+        variables, opt_state, carry, metrics = train_fn(
+            env.scene, variables, opt_state, carry, fresh, env.reward_weights
+        )
+        m = {k: float(np.asarray(v)) for k, v in metrics.items()}
+        global_step += int(m["samples"])
+        iteration += 1
+        sps = global_step / (time.time() - t0)
+        if iteration % 10 == 1:
+            print(
+                json.dumps(
+                    dict(
+                        iteration=iteration, global_step=global_step,
+                        agent_sps=round(sps), **{k: round(v, 5) for k, v in m.items()},
+                    )
+                ),
+                flush=True,
+            )
+        if iteration % args.checkpoint_interval == 0:
+            with open(ckpt_dir / "policy.pkl", "wb") as f:
+                pickle.dump(
+                    {
+                        "variables": jax.tree.map(np.asarray, variables),
+                        "iteration": iteration,
+                        "global_step": global_step,
+                    },
+                    f,
+                )
+    print(json.dumps({"final_global_step": global_step}))
+
+
+if __name__ == "__main__":
+    main()

@@ -11,6 +11,19 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+# The axon TPU plugin's sitecustomize force-sets jax_platforms='axon,cpu' at
+# interpreter start, silently overriding JAX_PLATFORMS — undo it so the test
+# suite runs on the local CPU backend (8 virtual devices for sharding tests).
+jax.config.update(
+    "jax_platforms", os.environ.get("GPUDRIVE_TPU_TEST_PLATFORM", "cpu")
+)
+
+import gpudrive_lab_tpu  # noqa: E402
+
+gpudrive_lab_tpu.enable_compile_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
