@@ -1,0 +1,184 @@
+"""Headless throughput benchmark.
+
+TPU-native analogue of the reference's headless driver
+(reference: src/headless.cpp:125-155): steps a batch of worlds with random
+discrete actions and reports **agent-normalized steps/s** =
+steps x sum(per-world created agents) / wall time — the reference's headline
+metric ("1M FPS", README.md:10).
+
+The benched program is one jit-compiled scan iteration per step: random
+action draw -> fused sim step (movement/collision/reward/done) -> observation
+collection (self + partner + K-nearest road graph, the default RL obs path)
+-> reset-as-select for finished worlds.  Obs are carried to force their
+materialization, matching the reference where obs collectors write out every
+step.
+
+Prints ONE JSON line:
+  {"metric": "agent_steps_per_sec", "value": N, "unit": "agent-steps/s",
+   "vs_baseline": N / 1e6}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--worlds", type=int, default=None)
+    p.add_argument("--steps", type=int, default=91 * 4)
+    p.add_argument("--scenes-dir", default="/root/reference/data/processed/examples")
+    p.add_argument("--smoke", action="store_true", help="tiny CPU run")
+    p.add_argument("--no-obs", action="store_true", help="dynamics only")
+    p.add_argument("--exact", action="store_true",
+                   help="exact all-pairs collision + exact top-k")
+    p.add_argument("--platform", default=None, help="cpu to force local CPU")
+    args = p.parse_args()
+
+    import jax
+
+    if args.smoke and args.platform is None:
+        args.platform = "cpu"
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    import gpudrive_lab_tpu
+
+    gpudrive_lab_tpu.enable_compile_cache()
+
+    import jax.numpy as jnp
+
+    from gpudrive_lab_tpu import constants as C
+    from gpudrive_lab_tpu.core import step as stepmod
+    from gpudrive_lab_tpu.env.config import EnvConfig
+    from gpudrive_lab_tpu.env.env_jax import ObsSpec, flat_observation
+    from gpudrive_lab_tpu.scene.compiler import build_scene
+
+    worlds = args.worlds or (2 if args.smoke else 256)
+    steps = 10 if args.smoke and args.steps == 91 * 4 else args.steps
+
+    cfg = EnvConfig(
+        num_worlds=worlds,
+        dynamics_model="classic",
+        collision_behavior="ignore",
+        road_obs_algorithm="k_nearest_roadpoints",
+        collision_top_k=None if args.exact else 64,
+        approx_top_k=not args.exact,
+    )
+    params = cfg.sim_params()
+
+    base = sorted(
+        os.path.join(args.scenes_dir, f)
+        for f in os.listdir(args.scenes_dir)
+        if f.endswith(".json")
+    )
+    if not base:
+        print(json.dumps({"error": f"no scenes in {args.scenes_dir}"}))
+        sys.exit(1)
+    paths = [base[i % len(base)] for i in range(worlds)]
+
+    t0 = time.time()
+    scene = build_scene(paths, params)
+    compile_scene_s = time.time() - t0
+    num_agents = int(np.asarray(scene.num_agents).sum())
+
+    spec = ObsSpec()
+    table_cfg = cfg.accel_actions, cfg.steer_actions, cfg.head_tilt_actions
+    a, b, c = np.meshgrid(*table_cfg, indexing="ij")
+    table = jnp.asarray(
+        np.stack([a.ravel(), b.ravel(), c.ravel()], axis=-1), jnp.float32
+    )
+    n_actions = table.shape[0]
+    weights = jnp.zeros((worlds, C.MAX_AGENTS, 3), jnp.float32)
+
+    def make_rollout(n_steps):
+        def rollout(scene, fresh, rng):
+            obs0, _, _ = (
+                flat_observation(scene, fresh, params, spec, weights)
+                if not args.no_obs
+                else (jnp.zeros(()), None, None)
+            )
+
+            def body(carry, _):
+                state, rng, _obs = carry
+                rng, k = jax.random.split(rng)
+                idx = jax.random.randint(
+                    k, (worlds, C.MAX_AGENTS), 0, n_actions
+                )
+                act = jnp.zeros(
+                    (worlds, C.MAX_AGENTS, C.ACTION_DIM), jnp.float32
+                ).at[..., :3].set(table[idx])
+                state = stepmod.step(scene, state, act, params)
+                if args.no_obs:
+                    obs = _obs
+                else:
+                    obs, _, _ = flat_observation(
+                        scene, state, params, spec, weights
+                    )
+                world_done = jnp.all(
+                    (state.done != 0) | ~scene.agents.valid, axis=1
+                )
+                blend = lambda f, s: jnp.where(
+                    world_done.reshape((-1,) + (1,) * (s.ndim - 1)), f, s
+                )
+                state = jax.tree.map(blend, fresh, state)
+                return (state, rng, obs), None
+
+            (state, rng, obs), _ = jax.lax.scan(
+                body, (fresh, rng, obs0), None, length=n_steps
+            )
+            return state, obs
+
+        return jax.jit(rollout, static_argnames=())
+
+    reset_fn = jax.jit(stepmod.reset, static_argnames="params")
+    fresh = reset_fn(scene, None, params)
+    jax.block_until_ready(fresh.pos)
+
+    rollout = make_rollout(steps)
+    rng = jax.random.PRNGKey(0)
+
+    # warmup / compile
+    t0 = time.time()
+    out = rollout(scene, fresh, rng)
+    jax.block_until_ready(out[0].pos)
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    out = rollout(scene, fresh, jax.random.PRNGKey(1))
+    jax.block_until_ready(out[0].pos)
+    elapsed = time.time() - t0
+
+    world_steps_per_sec = steps * worlds / elapsed
+    agent_steps_per_sec = steps * num_agents / elapsed
+
+    result = {
+        "metric": "agent_steps_per_sec",
+        "value": round(agent_steps_per_sec),
+        "unit": "agent-steps/s",
+        "vs_baseline": round(agent_steps_per_sec / 1_000_000, 4),
+    }
+    meta = {
+        "worlds": worlds,
+        "steps": steps,
+        "total_agents": num_agents,
+        "world_steps_per_sec": round(world_steps_per_sec),
+        "backend": jax.default_backend(),
+        "max_roads_bucket": scene.max_roads,
+        "scene_compile_s": round(compile_scene_s, 2),
+        "xla_compile_s": round(compile_s, 2),
+        "elapsed_s": round(elapsed, 3),
+        "obs": not args.no_obs,
+    }
+    print(json.dumps(meta), file=sys.stderr)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
