@@ -491,6 +491,27 @@ class GPUDriveTPUEnv:
     def get_road_mask(self):
         return self.road_mask
 
+    def get_lidar_obs(self):
+        """[W, A, 3, S, 4] lidar samples (reference:
+        env_torch.py:898-924 via the lidar_tensor export)."""
+        from gpudrive_lab_tpu.core.lidar import lidar_observation
+
+        zeros = jnp.zeros(
+            (self.num_worlds, C.MAX_AGENTS, C.ACTION_DIM), jnp.float32
+        )
+        return jax.jit(lidar_observation, static_argnames="params")(
+            self.scene, self.state, self.params, zeros
+        )
+
+    def get_bev_obs(self):
+        """[W, A, RES, RES, 1] type-id grid (reference:
+        env_torch.py:926-945 via the bev_observation_tensor export)."""
+        from gpudrive_lab_tpu.core.bev import bev_observation
+
+        return jax.jit(bev_observation, static_argnames="params")(
+            self.scene, self.state, self.params
+        )
+
     # ----- log playback / experts ---------------------------------------
 
     def get_expert_actions(self):
