@@ -21,6 +21,7 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -32,13 +33,15 @@ import numpy as np
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--worlds", type=int, default=None)
-    p.add_argument("--steps", type=int, default=91 * 4)
+    p.add_argument("--steps", type=int, default=91)
     p.add_argument("--scenes-dir", default="/root/reference/data/processed/examples")
     p.add_argument("--smoke", action="store_true", help="tiny CPU run")
     p.add_argument("--no-obs", action="store_true", help="dynamics only")
     p.add_argument("--exact", action="store_true",
                    help="exact all-pairs collision + exact top-k")
     p.add_argument("--platform", default=None, help="cpu to force local CPU")
+    p.add_argument("--repeats", type=int, default=3,
+                   help="timing repetitions; best is reported")
     args = p.parse_args()
 
     import jax
@@ -60,15 +63,15 @@ def main():
     from gpudrive_lab_tpu.env.env_jax import ObsSpec, flat_observation
     from gpudrive_lab_tpu.scene.compiler import build_scene
 
-    worlds = args.worlds or (2 if args.smoke else 256)
-    steps = 10 if args.smoke and args.steps == 91 * 4 else args.steps
+    worlds = args.worlds or (2 if args.smoke else 512)
+    steps = 10 if args.smoke and args.steps == 91 else args.steps
 
     cfg = EnvConfig(
         num_worlds=worlds,
         dynamics_model="classic",
         collision_behavior="ignore",
         road_obs_algorithm="k_nearest_roadpoints",
-        collision_top_k=None if args.exact else 64,
+        collision_top_k=None,
         approx_top_k=not args.exact,
     )
     params = cfg.sim_params()
@@ -97,63 +100,63 @@ def main():
     n_actions = table.shape[0]
     weights = jnp.zeros((worlds, C.MAX_AGENTS, 3), jnp.float32)
 
-    def make_rollout(n_steps):
-        def rollout(scene, fresh, rng):
-            obs0, _, _ = (
-                flat_observation(scene, fresh, params, spec, weights)
-                if not args.no_obs
-                else (jnp.zeros(()), None, None)
-            )
-
-            def body(carry, _):
-                state, rng, _obs = carry
-                rng, k = jax.random.split(rng)
-                idx = jax.random.randint(
-                    k, (worlds, C.MAX_AGENTS), 0, n_actions
-                )
-                act = jnp.zeros(
-                    (worlds, C.MAX_AGENTS, C.ACTION_DIM), jnp.float32
-                ).at[..., :3].set(table[idx])
-                state = stepmod.step(scene, state, act, params)
-                if args.no_obs:
-                    obs = _obs
-                else:
-                    obs, _, _ = flat_observation(
-                        scene, state, params, spec, weights
-                    )
-                world_done = jnp.all(
-                    (state.done != 0) | ~scene.agents.valid, axis=1
-                )
-                blend = lambda f, s: jnp.where(
-                    world_done.reshape((-1,) + (1,) * (s.ndim - 1)), f, s
-                )
-                state = jax.tree.map(blend, fresh, state)
-                return (state, rng, obs), None
-
-            (state, rng, obs), _ = jax.lax.scan(
-                body, (fresh, rng, obs0), None, length=n_steps
-            )
-            return state, obs
-
-        return jax.jit(rollout, static_argnames=())
+    # One fused XLA program per env step (random actions -> sim step -> obs
+    # -> reset-as-select), dispatched from a Python loop.  NOTE: lax.scan is
+    # avoided deliberately — on the axon TPU backend scanned programs compile
+    # ~100x slower and execute ~200x slower than the identical body
+    # dispatched per step (python dispatch is fully async; the device queue
+    # stays saturated).
+    # NB: scene/fresh/table are explicit arguments, not closure captures —
+    # closure constants get embedded into the executable, which on the axon
+    # backend costs ~30ms/dispatch.
+    # The carried ``acc`` scalar consumes every step's program output so the
+    # lazy axon runtime cannot elide any step's work.
+    @functools.partial(jax.jit, static_argnames=())
+    def bench_step(scene, fresh, table, weights, state, rng, acc):
+        rng, k = jax.random.split(rng)
+        idx = jax.random.randint(k, (worlds, C.MAX_AGENTS), 0, n_actions)
+        act = jnp.zeros(
+            (worlds, C.MAX_AGENTS, C.ACTION_DIM), jnp.float32
+        ).at[..., :3].set(table[idx])
+        state = stepmod.step(scene, state, act, params)
+        if args.no_obs:
+            acc = acc + state.reward[0, 0]
+        else:
+            obs, _, _ = flat_observation(scene, state, params, spec, weights)
+            acc = acc + obs[0, 0, 0] + state.reward[0, 0]
+        world_done = jnp.all((state.done != 0) | ~scene.agents.valid, axis=1)
+        blend = lambda f, s: jnp.where(
+            world_done.reshape((-1,) + (1,) * (s.ndim - 1)), f, s
+        )
+        state = jax.tree.map(blend, fresh, state)
+        return state, rng, acc
 
     reset_fn = jax.jit(stepmod.reset, static_argnames="params")
     fresh = reset_fn(scene, None, params)
     jax.block_until_ready(fresh.pos)
 
-    rollout = make_rollout(steps)
-    rng = jax.random.PRNGKey(0)
+    def run(n_steps, rng):
+        state = fresh
+        acc = jnp.float32(0)
+        for _ in range(n_steps):
+            state, rng, acc = bench_step(
+                scene, fresh, table, weights, state, rng, acc
+            )
+        jax.block_until_ready(acc)
+        return state, acc
 
     # warmup / compile
     t0 = time.time()
-    out = rollout(scene, fresh, rng)
-    jax.block_until_ready(out[0].pos)
+    run(2, jax.random.PRNGKey(0))
     compile_s = time.time() - t0
 
-    t0 = time.time()
-    out = rollout(scene, fresh, jax.random.PRNGKey(1))
-    jax.block_until_ready(out[0].pos)
-    elapsed = time.time() - t0
+    best = None
+    for rep in range(args.repeats):
+        t0 = time.time()
+        run(steps, jax.random.PRNGKey(1 + rep))
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    elapsed = best
 
     world_steps_per_sec = steps * worlds / elapsed
     agent_steps_per_sec = steps * num_agents / elapsed

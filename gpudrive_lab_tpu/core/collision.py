@@ -2,16 +2,17 @@
 
 Replaces the reference's broadphase BVH + narrow-phase OBB taskgraph nodes
 (reference: src/sim.cpp:628-747 plus madrona's broadphase) with masked,
-fully-vectorized all-pairs tests:
+fully-vectorized all-pairs tests using a closed-form separating-axis test
+(core/obb.py obb_overlap_sat — dense regular element-wise math that XLA maps
+straight onto the VPU; cheaper on TPU than building candidate lists):
 
-  * agent-agent: [W, A, A] OBB lattice (A=128).
-  * agent-road:  [W, A, R] OBB lattice, optionally pruned to the top
-    ``collision_top_k`` candidate segments per agent ranked by
-    (center distance - segment half length), a conservative bound on the
-    true box distance.  Candidate pruning changes only cost, not results,
-    as long as K exceeds the number of nearby segments.
+  * agent-agent: [W, A, A] lattice (A=128).
+  * agent-road:  [W, A, R] lattice.  ``Params.collision_top_k`` optionally
+    prunes to the top-K candidate segments per agent ranked by
+    (center distance - segment half length), a conservative bound on box
+    distance — only worth it for very large R buckets.
 
-Pure-functional reductions (ORs over the pair axes) replace the reference's
+Pure-functional reductions (ORs over pair axes) replace the reference's
 atomic writes (types.hpp:384-387) — no races by construction.
 
 Skip rules replicate isInvalidExpertOrDone (src/sim.cpp:631-666): uncontrolled
@@ -72,10 +73,12 @@ def collision_system(
     active = ~skip
 
     half = agent_half_extents(scene)  # [W, A, 2]
-    ac = obb.corners(state.pos, state.yaw, half)  # [W, A, 4, 2]
 
     # ---- agent vs agent -------------------------------------------------
-    hit_aa = obb.obb_overlap(ac[:, :, None], ac[:, None, :])  # [W, A, A]
+    hit_aa = obb.obb_overlap_sat(
+        state.pos[:, :, None, :], state.yaw[:, :, None], half[:, :, None],
+        state.pos[:, None, :, :], state.yaw[:, None, :], half[:, None, :],
+    )  # [W, A, A]
     eye = jnp.eye(hit_aa.shape[-1], dtype=bool)
     pair_ok = active[:, :, None] & active[:, None, :] & ~eye
     hit_aa = hit_aa & pair_ok
@@ -109,16 +112,19 @@ def collision_system(
         score = jnp.where(pair_ok_ar, score, jnp.inf)
         _, cand = jax.lax.top_k(-score, K)  # [W, A, K]
         gather = jax.vmap(lambda xw, cw: xw[cw])  # [R,...],[A,K] -> [A,K,...]
-        rc = obb.corners(
+        r_ok = jnp.take_along_axis(pair_ok_ar, cand, axis=2)
+        hit_ar = obb.obb_overlap_sat(
+            state.pos[:, :, None, :], state.yaw[:, :, None], half[:, :, None],
             gather(roads.pos[..., 0:2], cand),
             gather(roads.yaw, cand),
             gather(road_half, cand),
-        )  # [W, A, K, 4, 2]
-        r_ok = jnp.take_along_axis(pair_ok_ar, cand, axis=2)
-        hit_ar = obb.obb_overlap(ac[:, :, None], rc) & r_ok
+        ) & r_ok
     else:
-        rc = obb.corners(roads.pos[..., 0:2], roads.yaw, road_half)
-        hit_ar = obb.obb_overlap(ac[:, :, None], rc[:, None, :]) & pair_ok_ar
+        hit_ar = obb.obb_overlap_sat(
+            state.pos[:, :, None, :], state.yaw[:, :, None], half[:, :, None],
+            roads.pos[:, None, :, 0:2], roads.yaw[:, None, :],
+            road_half[:, None, :],
+        ) & pair_ok_ar
 
     # All road entity types (RoadEdge..StopSign = 1..6) attribute to
     # collidedWithRoad (src/sim.cpp:713-716).

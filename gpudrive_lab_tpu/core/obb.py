@@ -60,3 +60,40 @@ def obb_overlap_from_params(center_a, yaw_a, half_a, center_b, yaw_b, half_b):
     return obb_overlap(
         corners(center_a, yaw_a, half_a), corners(center_b, yaw_b, half_b)
     )
+
+
+def obb_overlap_sat(center_a, yaw_a, half_a, center_b, yaw_b, half_b):
+    """Closed-form separating-axis test, mathematically equivalent to the
+    corner-projection formulation above but ~5x fewer ops and no [..., 4, 2]
+    corner tensors — the production collision path (boundary-inclusive like
+    the reference's interval test, src/obb.hpp:72).
+
+    All operands broadcast elementwise; returns bool[...]."""
+    d = center_b - center_a
+    rel = yaw_b - yaw_a
+    c = jnp.cos(rel)
+    s = jnp.sin(rel)
+    ac = jnp.abs(c)
+    asn = jnp.abs(s)
+
+    ca = jnp.cos(yaw_a)
+    sa = jnp.sin(yaw_a)
+    # delta in A's frame
+    dx = ca * d[..., 0] + sa * d[..., 1]
+    dy = -sa * d[..., 0] + ca * d[..., 1]
+
+    a0, a1 = half_a[..., 0], half_a[..., 1]
+    b0, b1 = half_b[..., 0], half_b[..., 1]
+
+    # A's axes
+    sep_a0 = jnp.abs(dx) > a0 + b0 * ac + b1 * asn
+    sep_a1 = jnp.abs(dy) > a1 + b0 * asn + b1 * ac
+    # B's axes: delta in B's frame
+    cb = jnp.cos(yaw_b)
+    sb = jnp.sin(yaw_b)
+    ex = cb * d[..., 0] + sb * d[..., 1]
+    ey = -sb * d[..., 0] + cb * d[..., 1]
+    sep_b0 = jnp.abs(ex) > b0 + a0 * ac + a1 * asn
+    sep_b1 = jnp.abs(ey) > b1 + a0 * asn + a1 * ac
+
+    return ~(sep_a0 | sep_a1 | sep_b0 | sep_b1)

@@ -53,44 +53,50 @@ def partner_observations(
     """[W, A, A-1, 9]: speed, ego-frame rel pos(2), rel heading, size(3),
     type, id (reference: src/sim.cpp:188-240).  Out-of-radius partners are
     zeroed with id=-1; never-created slots get id=-2; rows of padded ego
-    agents are all zero()/id=-1 (src/level_gen.cpp:322-325)."""
+    agents are all zero()/id=-1 (src/level_gen.cpp:322-325).
+
+    Implementation: per-agent scalars of the *other* agent are gathered
+    through the static [A, A-1] "all-but-self" index map first, then the
+    9-wide features are computed directly at the packed layout — no
+    [W, A, A, 9] intermediate (HBM traffic matters: this runs every step)."""
     agents = scene.agents
     A = state.pos.shape[1]
 
-    rel = state.pos[:, None, :, :] - state.pos[:, :, None, :]  # [W,ego,other,2]
-    rel_ego = rotate_into_frame(rel, state.yaw[:, :, None])
+    # Slot k of ego i reads agent k + (k >= i)
+    # (the OtherAgents wiring, src/level_gen.cpp:450-464).
+    k = jnp.arange(A - 1)
+    src = k[None, :] + (k[None, :] >= jnp.arange(A)[:, None])  # [A, A-1]
+
+    def take(x):  # [W, A(, d)] -> [W, A, A-1(, d)]
+        return x[:, src]
+
+    o_pos = take(state.pos)
+    o_speed = take(state.speed)
+    o_yaw = take(state.yaw)
+    o_size = take(agents.size)
+    o_type = take(agents.etype).astype(jnp.float32)
+    o_id = take(agents.aid).astype(jnp.float32)
+
+    rel_ego = rotate_into_frame(
+        o_pos - state.pos[:, :, None, :], state.yaw[:, :, None]
+    )
     dist = jnp.linalg.norm(rel_ego, axis=-1)
-    rel_heading = quat_yaw_diff(state.yaw[:, :, None], state.yaw[:, None, :])
+    rel_heading = quat_yaw_diff(state.yaw[:, :, None], o_yaw)
 
     obs = jnp.concatenate(
         [
-            jnp.broadcast_to(state.speed[:, None, :], dist.shape)[..., None],
+            o_speed[..., None],
             rel_ego,
             rel_heading[..., None],
-            jnp.broadcast_to(
-                agents.size[:, None], rel.shape[:3] + (3,)
-            ),
-            jnp.broadcast_to(
-                agents.etype[:, None].astype(jnp.float32), dist.shape
-            )[..., None],
-            jnp.broadcast_to(
-                agents.aid[:, None].astype(jnp.float32), dist.shape
-            )[..., None],
+            o_size,
+            o_type[..., None],
+            o_id[..., None],
         ],
         axis=-1,
-    )  # [W, A, A, 9]
+    )  # [W, A, A-1, 9]
 
     in_radius = dist <= params.observation_radius
-    zero = jnp.zeros((), jnp.float32)
-    obs = jnp.where(in_radius[..., None], obs, zero)
-    # (id column for out-of-radius slots becomes -1 after slot packing.)
-
-    # Pack "all agents except self" in index order: slot k of ego i reads
-    # agent k + (k >= i) (the OtherAgents wiring, src/level_gen.cpp:450-464).
-    k = jnp.arange(A - 1)
-    src = k[None, :] + (k[None, :] >= jnp.arange(A)[:, None])  # [A, A-1]
-    packed = jnp.take_along_axis(obs, src[None, :, :, None], axis=2)
-    packed_in_radius = jnp.take_along_axis(in_radius, src[None], axis=2)
+    obs = jnp.where(in_radius[..., None], obs, 0.0)
 
     # Existing-slot predicate: slot k valid iff k < numAgents-1 for real egos
     # (src/sim.cpp:199,236-239).
@@ -98,15 +104,15 @@ def partner_observations(
     exists = k[None, None, :] < (n - 1)
 
     id_col = jnp.where(
-        exists, jnp.where(packed_in_radius, packed[..., 8], -1.0), -2.0
+        exists, jnp.where(in_radius, obs[..., 8], -1.0), -2.0
     )
-    packed = jnp.where(exists[..., None], packed, zero)
-    packed = packed.at[..., 8].set(id_col)
+    obs = jnp.where(exists[..., None], obs, 0.0)
+    obs = obs.at[..., 8].set(id_col)
 
     # Padded ego rows: PartnerObservation::zero() everywhere (id = -1).
     ego_valid = agents.valid[:, :, None, None]
     zero_row = jnp.zeros(9, jnp.float32).at[8].set(-1.0)
-    return jnp.where(ego_valid, packed, zero_row)
+    return jnp.where(ego_valid, obs, zero_row)
 
 
 def _road_observation_features(scene: Scene, state: SimState) -> tuple:
@@ -147,27 +153,52 @@ def agent_map_observations(
     KNEAREST: K nearest road entities by ego distance, then radius filter and
     zero fill (reference: src/knn.hpp:103-158).  The reference's KNN filler
     zeroes id/mapType (knn.hpp:19-28), unlike MapObservation::zero().
+    Selection runs on squared world distances only; the 9-wide ego-frame
+    features are computed AFTER gathering the K winners, so the [W, A, R]
+    lattice never materializes 9-wide (the bandwidth hot spot flagged in
+    SURVEY.md §7).
 
     LINEAR: first K entities (by index) within the radius, zero-filled with
     MapObservation::zero() — id/mapType = -1 (reference: src/sim.cpp:259-280).
     """
     K = C.MAX_AGENT_MAP_OBS
-    feats, dist = _road_observation_features(scene, state)
+    roads = scene.roads
     road_valid = scene.roads.valid[:, None, :]
 
     if params.road_obs_algorithm == RoadObsAlgorithm.KNEAREST:
-        score = jnp.where(road_valid, dist * dist, jnp.inf)
+        delta = roads.pos[:, None, :, 0:2] - state.pos[:, :, None, :]
+        d2 = jnp.sum(delta * delta, axis=-1)  # [W, A, R]
+        score = jnp.where(road_valid, d2, jnp.inf)
         if params.approx_top_k:
-            neg, idx = jax.lax.approx_max_k(-score, K, recall_target=0.99)
+            _, idx = jax.lax.approx_max_k(-score, K, recall_target=0.99)
         else:
-            neg, idx = jax.lax.top_k(-score, K)
-        sel = jnp.take_along_axis(feats, idx[..., None], axis=2)
-        sel_dist = jnp.take_along_axis(dist, idx, axis=2)
-        sel_valid = jnp.take_along_axis(road_valid | jnp.zeros_like(dist, bool), idx, axis=2)
-        keep = sel_valid & (sel_dist <= params.observation_radius)
+            _, idx = jax.lax.top_k(-score, K)
+
+        def take(x):  # [W, R(, d)] -> [W, A, K(, d)]
+            return jax.vmap(lambda xw, iw: xw[iw])(x, idx)
+
+        sel_pos = take(roads.pos[..., 0:2])
+        rel_ego = rotate_into_frame(
+            sel_pos - state.pos[:, :, None, :], state.yaw[:, :, None]
+        )
+        heading = quat_yaw_diff(state.yaw[:, :, None], take(roads.yaw))
+        sel = jnp.concatenate(
+            [
+                rel_ego,
+                take(roads.scale),
+                heading[..., None],
+                take(roads.etype).astype(jnp.float32)[..., None],
+                take(roads.rid).astype(jnp.float32)[..., None],
+                take(roads.map_type).astype(jnp.float32)[..., None],
+            ],
+            axis=-1,
+        )
+        sel_d2 = jnp.take_along_axis(score, idx, axis=2)
+        keep = sel_d2 <= params.observation_radius**2
         # KNN filler: all-zero row including id/mapType (knn.hpp:19-28).
         out = jnp.where(keep[..., None], sel, 0.0)
     else:
+        feats, dist = _road_observation_features(scene, state)
         within = road_valid & (dist <= params.observation_radius)
         # Slot index = rank among kept entities, in entity order
         # (src/sim.cpp:262-276).
@@ -190,7 +221,7 @@ def agent_map_observations(
 
     # Padded ego agents: MapObservation::zero() rows
     # (src/level_gen.cpp:315-318).
-    pad_filler = jnp.zeros(9, feats.dtype).at[7].set(-1.0).at[8].set(-1.0)
+    pad_filler = jnp.zeros(9, jnp.float32).at[7].set(-1.0).at[8].set(-1.0)
     return jnp.where(
         scene.agents.valid[:, :, None, None], out, pad_filler
     )

@@ -104,8 +104,9 @@ class EnvConfig:
     init_mode: str = "all_non_trivial"
     # all_non_trivial | all_objects | all_valid | womd_tracks_to_predict
 
-    # TPU-specific performance knobs
-    collision_top_k: Optional[int] = 64
+    # TPU-specific performance knobs.  collision_top_k=None -> dense
+    # all-pairs SAT (fastest for bucketed R up to a few thousand).
+    collision_top_k: Optional[int] = None
     approx_top_k: bool = False
     seed: int = 0
 
