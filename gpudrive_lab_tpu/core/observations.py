@@ -169,10 +169,18 @@ def agent_map_observations(
         delta = roads.pos[:, None, :, 0:2] - state.pos[:, :, None, :]
         d2 = jnp.sum(delta * delta, axis=-1)  # [W, A, R]
         score = jnp.where(road_valid, d2, jnp.inf)
-        if params.approx_top_k:
-            _, idx = jax.lax.approx_max_k(-score, K, recall_target=0.99)
+        # Fewer road entities than K: take them all and zero-fill
+        # (reference: src/knn.hpp:122-126).
+        K_eff = min(K, score.shape[-1])
+        if params.approx_top_k and K_eff == K:
+            _, idx = jax.lax.approx_max_k(-score, K_eff, recall_target=0.99)
         else:
-            _, idx = jax.lax.top_k(-score, K)
+            _, idx = jax.lax.top_k(-score, K_eff)
+        if K_eff < K:
+            idx = jnp.concatenate(
+                [idx, jnp.zeros(idx.shape[:-1] + (K - K_eff,), idx.dtype)],
+                axis=-1,
+            )
 
         def take(x):  # [W, R(, d)] -> [W, A, K(, d)]
             return jax.vmap(lambda xw, iw: xw[iw])(x, idx)
@@ -194,6 +202,9 @@ def agent_map_observations(
             axis=-1,
         )
         sel_d2 = jnp.take_along_axis(score, idx, axis=2)
+        if K_eff < K:
+            pad = jnp.arange(K) >= K_eff
+            sel_d2 = jnp.where(pad[None, None, :], jnp.inf, sel_d2)
         keep = sel_d2 <= params.observation_radius**2
         # KNN filler: all-zero row including id/mapType (knn.hpp:19-28).
         out = jnp.where(keep[..., None], sel, 0.0)

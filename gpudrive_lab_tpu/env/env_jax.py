@@ -583,6 +583,23 @@ class GPUDriveTPUEnv:
         self.state = None
         self.reset()
 
+    # ----- rendering -----------------------------------------------------
+
+    @property
+    def vis(self):
+        """Lazy matplotlib visualizer bound to the current scene
+        (reference: env_torch.py constructor wiring of MatplotlibVisualizer)."""
+        if getattr(self, "_vis", None) is None or self._vis.scene is not self.scene:
+            from gpudrive_lab_tpu.visualize.core import MatplotlibVisualizer
+
+            self._vis = MatplotlibVisualizer(self.scene)
+        return self._vis
+
+    def render(self, env_idx: int = 0, zoom_radius: float | None = None):
+        return self.vis.plot_simulator_state(
+            self.state, [env_idx], zoom_radius=zoom_radius
+        )[0]
+
     # ----- name exports --------------------------------------------------
 
     def get_env_filenames(self):
