@@ -1,0 +1,163 @@
+"""Tests for the WOMD conversion core (via proto stubs), post-processing
+validation, and behavior detection."""
+
+import json
+import types
+
+import numpy as np
+import pytest
+
+from gpudrive_lab_tpu.data_utils.detect_behavior import (
+    check_reversing,
+    check_uturn,
+    process_scene,
+)
+from gpudrive_lab_tpu.data_utils.post_processing import (
+    is_valid_json_structure,
+    process_directory,
+)
+from gpudrive_lab_tpu.data_utils.waymo_converter import scenario_to_dict
+
+
+# ---- proto stubs -------------------------------------------------------
+
+class _State(types.SimpleNamespace):
+    pass
+
+
+def _state(x, y, heading=0.0, vx=0.0, vy=0.0, valid=True):
+    return _State(
+        center_x=x, center_y=y, center_z=0.0, length=4.5, width=2.0,
+        height=1.5, heading=heading, velocity_x=vx, velocity_y=vy,
+        valid=valid,
+    )
+
+
+class _Track(types.SimpleNamespace):
+    pass
+
+
+class _Point(types.SimpleNamespace):
+    pass
+
+
+class _MapFeature:
+    def __init__(self, fid, feature, pts, sub_type=1):
+        self.id = fid
+        self._feature = feature
+        data = types.SimpleNamespace(type=sub_type)
+        pl = [_Point(x=p[0], y=p[1], z=p[2] if len(p) > 2 else 0.0) for p in pts]
+        if feature in ("crosswalk", "speed_bump", "driveway"):
+            data.polygon = pl
+        elif feature == "stop_sign":
+            data.position = pl[0]
+        else:
+            data.polyline = pl
+        setattr(self, feature, data)
+
+    def WhichOneof(self, _):
+        return self._feature
+
+
+class _Scenario(types.SimpleNamespace):
+    pass
+
+
+def make_scenario(tracks, features, tl=False):
+    return _Scenario(
+        scenario_id="abc123",
+        tracks=tracks,
+        map_features=features,
+        dynamic_map_states=[
+            types.SimpleNamespace(lane_states=[1] if tl else [])
+        ],
+        sdc_track_index=0,
+        objects_of_interest=[],
+        tracks_to_predict=[],
+    )
+
+
+def _vehicle(tid, x, y, n=5, **kw):
+    return _Track(
+        id=tid, object_type=1, states=[_state(x + i, y, **kw) for i in range(n)]
+    )
+
+
+def test_traffic_light_scene_dropped():
+    sc = make_scenario([_vehicle(1, 0, 0)], [], tl=True)
+    assert scenario_to_dict(sc, "a.json") is None
+
+
+def test_overpass_scene_dropped():
+    # The reference's check compares road-edge VERTICES: two vertices within
+    # 0.2m in xy but >0.2m apart in z flag a 3-D structure.
+    f1 = _MapFeature(1, "road_edge", [(0, 0, 0), (5, 0, 0), (10, 0, 0)])
+    f2 = _MapFeature(2, "road_edge", [(5, 0.05, 5), (5, 5, 5)])
+    sc = make_scenario([_vehicle(1, 0, 20)], [f1, f2])
+    assert scenario_to_dict(sc, "a.json") is None
+
+
+def test_basic_conversion_and_expert_marking():
+    edge = _MapFeature(1, "road_edge", [(0, 5, 0), (50, 5, 0)])
+    lane = _MapFeature(2, "lane", [(0, 0, 0), (50, 0, 0)], sub_type=2)
+    clean = _vehicle(1, 0, 0)
+    on_edge = _vehicle(2, 10, 5)  # spawns straddling the road edge
+    overlapping_a = _vehicle(3, 30, -10)
+    overlapping_b = _vehicle(4, 31, -10)  # overlaps agent 3 at spawn
+    sc = make_scenario([clean, on_edge, overlapping_a, overlapping_b],
+                       [edge, lane])
+    out = scenario_to_dict(sc, "scene.json")
+    assert out is not None
+    assert out["scenario_id"] == "abc123"
+    assert len(out["roads"]) == 2
+    assert out["roads"][0]["type"] == "road_edge"
+    assert out["roads"][0]["map_element_id"] == 15  # ROAD_EDGE_BOUNDARY
+    assert out["roads"][1]["map_element_id"] == 2  # LANE_SURFACE_STREET
+    flags = {o["id"]: o["mark_as_expert"] for o in out["objects"]}
+    assert flags[1] is False
+    assert flags[2] is True
+    assert flags[3] is True and flags[4] is True
+
+
+def test_invalid_states_get_err_val():
+    t = _Track(
+        id=9, object_type=1,
+        states=[_state(0, 0), _state(1, 0, valid=False), _state(2, 0)],
+    )
+    sc = make_scenario([t], [])
+    out = scenario_to_dict(sc, "x.json")
+    obj = out["objects"][0]
+    assert obj["position"][1]["x"] == -1e4
+    assert obj["valid"] == [True, False, True]
+    # goal = last valid position
+    assert obj["goalPosition"]["x"] == 2
+
+
+def test_post_processing_validation(tmp_path):
+    good = {"name": "a", "objects": [{"position": [], "type": "vehicle"}],
+            "roads": [{"geometry": [{"x": 1, "y": 2}]}], "tl_states": {}}
+    (tmp_path / "tfrecord_good.json").write_text(json.dumps(good))
+    (tmp_path / "tfrecord_bad.json").write_text("{broken")
+    (tmp_path / "tfrecord_missing.json").write_text(json.dumps({"name": "x"}))
+    assert is_valid_json_structure(tmp_path / "tfrecord_good.json")
+    valid, invalid = process_directory(str(tmp_path), num_workers=2)
+    assert valid == 1 and invalid == 2
+    assert not (tmp_path / "tfrecord_bad.json").exists()
+
+
+def test_uturn_and_reversing_detection():
+    n = 30
+    straight = np.zeros(n)
+    valid = np.ones(n, bool)
+    assert not check_uturn(straight, valid)
+    uturn = np.linspace(0, np.pi, n)
+    assert check_uturn(uturn, valid)
+    # reversing: velocity opposite to heading
+    vel_fwd = np.tile([5.0, 0.0], (n, 1))
+    vel_rev = np.tile([-5.0, 0.0], (n, 1))
+    assert not check_reversing(straight, vel_fwd, valid)
+    assert check_reversing(straight, vel_rev, valid, min_timesteps=10)
+    # short reversal below threshold does not count
+    brief = vel_fwd.copy()
+    brief[5:10] = [-5, 0]
+    assert not check_reversing(straight, brief, valid, min_timesteps=10)
