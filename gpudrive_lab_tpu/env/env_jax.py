@@ -383,17 +383,45 @@ class GPUDriveTPUEnv:
         )
         return jnp.asarray(w)
 
-    def _sample_reward_weights(self) -> jnp.ndarray:
-        """Random per-agent weights within configured bounds
-        (reference: env_torch.py:247-401, condition_mode=random)."""
+    # Reward-conditioning presets (reference: env_torch.py:247-401).
+    _PRESETS = {
+        "cautious": (0.9, 0.7, 0.9),
+        "aggressive": (0.5, 0.9, 0.6),
+        "risk_taker": (0.3, 1.0, 0.4),
+    }
+
+    def _sample_reward_weights(
+        self, condition_mode: str | None = None, agent_type=None
+    ) -> jnp.ndarray:
+        """Per-agent (collision, goal, off_road) weights
+        (reference: env_torch.py:247-401): condition_mode 'random' samples
+        within the configured bounds; 'preset' scales the bounds by the named
+        profile; 'fixed' broadcasts a given 3-vector."""
         cfg = self.config
+        mode = condition_mode or cfg.condition_mode
         lo = np.array(
             [cfg.collision_weight_lb, cfg.goal_achieved_weight_lb, cfg.off_road_weight_lb]
         )
         hi = np.array(
             [cfg.collision_weight_ub, cfg.goal_achieved_weight_ub, cfg.off_road_weight_ub]
         )
-        w = self._rng.uniform(lo, hi, (self.num_worlds, C.MAX_AGENTS, 3))
+        if mode == "fixed" and agent_type is not None:
+            w = np.broadcast_to(
+                np.asarray(agent_type, np.float32),
+                (self.num_worlds, C.MAX_AGENTS, 3),
+            )
+        elif mode == "preset":
+            name = agent_type if isinstance(agent_type, str) else "balanced"
+            if name == "balanced":
+                vec = (lo + hi) / 2.0
+            else:
+                s = self._PRESETS[name]
+                vec = np.array([lo[0] * s[0], hi[1] * s[1], lo[2] * s[2]])
+            w = np.broadcast_to(
+                vec.astype(np.float32), (self.num_worlds, C.MAX_AGENTS, 3)
+            )
+        else:  # random
+            w = self._rng.uniform(lo, hi, (self.num_worlds, C.MAX_AGENTS, 3))
         return jnp.asarray(w, jnp.float32)
 
     # ----- core API ------------------------------------------------------
@@ -405,7 +433,12 @@ class GPUDriveTPUEnv:
     def get_controlled_agents_mask(self):
         return np.asarray(self.scene.agents.controlled)
 
-    def reset(self, env_idx_list: Optional[List[int]] = None):
+    def reset(
+        self,
+        env_idx_list: Optional[List[int]] = None,
+        condition_mode: Optional[str] = None,
+        agent_type=None,
+    ):
         """(Re)generate worlds; per-world partial reset supported
         (reference: env_torch.py:403-451)."""
         if env_idx_list is None or self.state is None:
@@ -418,7 +451,9 @@ class GPUDriveTPUEnv:
             self.state = self._reset_fn(self.scene, self.state, self.params, jmask)
             self.world_time_steps = _zero_where(jmask, self.world_time_steps)
         if self.config.reward_type == "reward_conditioned":
-            self.reward_weights = self._sample_reward_weights()
+            self.reward_weights = self._sample_reward_weights(
+                condition_mode, agent_type
+            )
         if self.config.init_steps > 0:
             self.advance_sim_with_log_playback(self.config.init_steps)
         return self.get_obs(reset=True)
