@@ -124,6 +124,89 @@ def _should_create(obj, params: Params, deleted: frozenset) -> bool:
 def compile_world(
     path: str, params: Params, deleted: frozenset = frozenset()
 ) -> CompiledWorld:
+    """Compile one scenario JSON.  Uses the native C++ compiler
+    (csrc/scene_compiler.cpp via gpudrive_lab_tpu.native) when available,
+    falling back to the pure-Python path; both emit identical arrays
+    (tests/test_native_compiler.py)."""
+    native = _compile_world_native(path, params, deleted)
+    if native is not None:
+        return native
+    return _compile_world_py(path, params, deleted)
+
+
+def _compile_world_native(
+    path: str, params: Params, deleted: frozenset
+) -> CompiledWorld | None:
+    from gpudrive_lab_tpu import native
+
+    if not native.available():
+        return None
+    with open(path, "rb") as f:
+        raw = f.read()
+    arrays = native.compile_scene_native(
+        raw,
+        polyline_threshold=params.polyline_reduction_threshold,
+        ignore_non_vehicles=params.ignore_non_vehicles,
+        init_only_valid=params.init_only_valid_agents,
+        read_tracks=params.read_from_tracks_to_predict,
+        is_static_controlled=params.is_static_agent_controlled,
+        max_controlled=params.max_num_controlled_agents,
+        r_cap=C.MAX_ROAD_ENTITIES,
+        deleted=tuple(deleted),
+    )
+    if arrays is None:
+        return None
+    num_agents = int(arrays["num_agents"][0])
+    num_roads = int(arrays["num_roads"][0])
+    A, T = C.MAX_AGENTS, C.TRAJECTORY_LEN
+    ag = dict(
+        valid=arrays["valid"].astype(bool),
+        etype=arrays["etype"],
+        size=arrays["size"],
+        goal=arrays["goal"],
+        aid=arrays["aid"],
+        controlled=arrays["controlled"].astype(bool),
+        static=arrays["is_static"].astype(bool),
+        mark_as_expert=arrays["mark_expert"].astype(bool),
+        metadata=arrays["metadata"],
+        traj_pos=arrays["traj_pos"],
+        traj_vel=arrays["traj_vel"],
+        traj_yaw=arrays["traj_yaw"],
+        traj_valid=arrays["traj_valid"],
+        traj_inv_actions=np.zeros((A, T, C.ACTION_DIM), np.float32),
+    )
+    # Inverse expert actions (populateExpertTrajectory,
+    # src/level_gen.cpp:56-100) — numpy, per created agent.
+    for i in range(num_agents):
+        if params.dynamics_model == DynamicsModel.INVERTIBLE_BICYCLE:
+            ag["traj_inv_actions"][i] = _inverse_bicycle_np(
+                ag["traj_pos"][i], ag["traj_vel"][i], ag["traj_yaw"][i]
+            )
+        elif params.dynamics_model == DynamicsModel.DELTA_LOCAL:
+            ag["traj_inv_actions"][i] = _inverse_delta_np(
+                ag["traj_pos"][i], ag["traj_yaw"][i]
+            )
+        else:
+            ag["traj_inv_actions"][i] = _zero_action(params.dynamics_model)
+    road = dict(
+        pos=arrays["road_pos"][:num_roads],
+        yaw=arrays["road_yaw"][:num_roads],
+        scale=arrays["road_scale"][:num_roads],
+        etype=arrays["road_type"][:num_roads],
+        rid=arrays["road_id"][:num_roads],
+        map_type=arrays["road_map_type"][:num_roads],
+    )
+    mean3 = np.array([arrays["mean"][0], arrays["mean"][1], 0.0], np.float32)
+    return CompiledWorld(
+        agent=ag, road=road, num_agents=num_agents, num_roads=num_roads,
+        mean=mean3, map_name=arrays["name_codes"],
+        scenario_id=arrays["scenario_codes"],
+    )
+
+
+def _compile_world_py(
+    path: str, params: Params, deleted: frozenset = frozenset()
+) -> CompiledWorld:
     m = load_map(path, params.polyline_reduction_threshold)
     mean = m["mean"]
     A, T = C.MAX_AGENTS, C.TRAJECTORY_LEN
