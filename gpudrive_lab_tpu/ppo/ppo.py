@@ -66,6 +66,13 @@ class Transition(NamedTuple):
     reward: jnp.ndarray  # [W, A]
     done: jnp.ndarray  # [W, A] (post-step)
     mask: jnp.ndarray  # [W, A] valid training sample (controlled & alive)
+    # per-world episode outcomes, populated on the step a world finishes
+    # (the analogue of the puffer wrapper's episode stats,
+    # reference: env_puffer.py:303-370)
+    ep_done: jnp.ndarray  # [W] bool
+    ep_goal: jnp.ndarray  # [W] fraction of controlled agents at goal
+    ep_collided: jnp.ndarray  # [W]
+    ep_off_road: jnp.ndarray  # [W]
 
 
 class EnvCarry(NamedTuple):
@@ -124,14 +131,27 @@ def make_ppo_funcs(
                 carry.world_time_steps,
             )
             done = (state.done != 0).astype(jnp.float32)
-            t = Transition(
-                obs=obs, action=a, logprob=logp, value=value, reward=reward,
-                done=done, mask=mask,
-            )
             # Auto-reset finished worlds (all valid agents done), like the
             # puffer wrapper's async reset (reference: env_puffer.py:265-386).
             world_done = jnp.all(
                 (state.done != 0) | ~scene.agents.valid, axis=1
+            )
+            n_ctrl = jnp.maximum(jnp.sum(controlled, axis=1), 1)
+            frac = lambda x: jnp.where(
+                world_done, jnp.sum(x * controlled, axis=1) / n_ctrl, 0.0
+            )
+            t = Transition(
+                obs=obs, action=a, logprob=logp, value=value, reward=reward,
+                done=done, mask=mask,
+                ep_done=world_done,
+                ep_goal=frac(state.reached_goal),
+                ep_collided=frac(
+                    jnp.clip(
+                        state.collided_vehicle + state.collided_non_vehicle,
+                        0, 1,
+                    )
+                ),
+                ep_off_road=frac(jnp.clip(state.collided_road, 0, 1)),
             )
             blend = lambda f, s: jnp.where(
                 world_done.reshape((-1,) + (1,) * (s.ndim - 1)), f, s
@@ -269,6 +289,11 @@ def make_ppo_funcs(
             traj.mask.sum(), 1
         )
         metrics["samples"] = traj.mask.sum()
+        n_ep = jnp.maximum(traj.ep_done.sum(), 1)
+        metrics["episodes"] = traj.ep_done.sum()
+        metrics["perc_goal_achieved"] = traj.ep_goal.sum() / n_ep
+        metrics["perc_collisions"] = traj.ep_collided.sum() / n_ep
+        metrics["perc_off_road"] = traj.ep_off_road.sum() / n_ep
         return variables, opt_state, carry, metrics
 
     def init_fn(rng, scene, example_obs):

@@ -103,50 +103,71 @@ def main():
     ckpt_dir = Path(args.checkpoint_path)
     ckpt_dir.mkdir(parents=True, exist_ok=True)
 
+    from gpudrive_lab_tpu.utils.logging import MetricsLogger
+    from gpudrive_lab_tpu.utils.profiling import Profile, Utilization
+
+    logger = MetricsLogger(args.checkpoint_path, exp_id="ppo")
+    profile = Profile()
+    util = Utilization()
+    util.start()
+
     global_step = 0
     iteration = 0
-    t0 = time.time()
-    while global_step < args.total_timesteps:
-        if (
-            args.resample_interval
-            and global_step > 0
-            and global_step % args.resample_interval < args.rollout_len
-        ):
-            env.swap_data_batch()
-            fresh = jax.jit(stepmod.reset, static_argnames="params")(
-                env.scene, None, env.params
-            )
-            carry = EnvCarry(
-                state=fresh, world_time_steps=carry.world_time_steps,
-                rng=carry.rng,
-            )
-        variables, opt_state, carry, metrics = train_fn(
-            env.scene, variables, opt_state, carry, fresh, env.reward_weights
-        )
-        m = {k: float(np.asarray(v)) for k, v in metrics.items()}
-        global_step += int(m["samples"])
-        iteration += 1
-        sps = global_step / (time.time() - t0)
-        if iteration % 10 == 1:
-            print(
-                json.dumps(
-                    dict(
-                        iteration=iteration, global_step=global_step,
-                        agent_sps=round(sps), **{k: round(v, 5) for k, v in m.items()},
+    resampled_at = 0
+    try:
+        while global_step < args.total_timesteps:
+            if (
+                args.resample_interval
+                and global_step - resampled_at >= args.resample_interval
+            ):
+                with profile.phase("env"):
+                    env.swap_data_batch()
+                    fresh = jax.jit(stepmod.reset, static_argnames="params")(
+                        env.scene, None, env.params
                     )
-                ),
-                flush=True,
-            )
-        if iteration % args.checkpoint_interval == 0:
-            with open(ckpt_dir / "policy.pkl", "wb") as f:
-                pickle.dump(
-                    {
-                        "variables": jax.tree.map(np.asarray, variables),
-                        "iteration": iteration,
-                        "global_step": global_step,
-                    },
-                    f,
+                    carry = EnvCarry(
+                        state=jax.tree.map(jnp.copy, fresh),
+                        world_time_steps=carry.world_time_steps,
+                        rng=carry.rng,
+                    )
+                resampled_at = global_step
+            with profile.phase("learn"):
+                variables, opt_state, carry, metrics = train_fn(
+                    env.scene, variables, opt_state, carry, fresh,
+                    env.reward_weights,
                 )
+                m = {k: float(np.asarray(v)) for k, v in metrics.items()}
+            samples = int(m.pop("samples"))
+            global_step += samples
+            profile.account(
+                samples,
+                env.num_worlds * 128 * args.rollout_len,
+            )
+            iteration += 1
+            if iteration % 10 == 1:
+                logger.log(
+                    dict(
+                        iteration=iteration,
+                        global_step=global_step,
+                        **{k: round(v, 5) for k, v in m.items()},
+                        **profile.summary(),
+                        **util.summary(),
+                    ),
+                    step=global_step,
+                )
+            if iteration % args.checkpoint_interval == 0:
+                with open(ckpt_dir / "policy.pkl", "wb") as f:
+                    pickle.dump(
+                        {
+                            "variables": jax.tree.map(np.asarray, variables),
+                            "iteration": iteration,
+                            "global_step": global_step,
+                        },
+                        f,
+                    )
+    finally:
+        util.stop()
+        logger.close()
     print(json.dumps({"final_global_step": global_step}))
 
 
