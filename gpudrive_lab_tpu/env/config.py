@@ -104,6 +104,13 @@ class EnvConfig:
     init_mode: str = "all_non_trivial"
     # all_non_trivial | all_objects | all_valid | womd_tracks_to_predict
 
+    # VBD (diffusion sim agents) settings
+    # (reference: gpudrive/env/config.py:142-147)
+    use_vbd: bool = False
+    vbd_model_path: Optional[str] = None
+    vbd_trajectory_weight: float = 0.01
+    vbd_in_obs: bool = False
+
     # TPU-specific performance knobs.  collision_top_k=None -> dense
     # all-pairs SAT (fastest for bucketed R up to a few thousand).
     collision_top_k: Optional[int] = None

@@ -333,7 +333,16 @@ class GPUDriveTPUEnv:
             norm_obs=config.norm_obs,
             reward_conditioned=(config.reward_type == "reward_conditioned"),
         )
-        self.observation_dim = self.spec.obs_dim * config.num_stack
+        # VBD integration (reference: env_torch.py:132-245): predicted
+        # global trajectories [W, A, T, 5]; populated by
+        # set_vbd_trajectories() from any TrajectorySource.
+        self.vbd_trajectories = None
+        self._vbd_obs_dim = (
+            C.TRAJECTORY_LEN * 5 if config.use_vbd and config.vbd_in_obs else 0
+        )
+        self.observation_dim = (
+            self.spec.obs_dim + self._vbd_obs_dim
+        ) * config.num_stack
 
         self._build_action_table()
         self._reset_fn = jax.jit(stepmod.reset, static_argnames="params")
@@ -488,10 +497,34 @@ class GPUDriveTPUEnv:
                 self.params,
             )
 
+    def set_vbd_trajectories(self, source_or_array):
+        """Install predicted trajectories ([W, A, T, 5] array or a
+        TrajectorySource callable; see gpudrive_lab_tpu.vbd.integration)."""
+        if callable(source_or_array):
+            self.vbd_trajectories = source_or_array(self.scene, self.state)
+        else:
+            self.vbd_trajectories = jnp.asarray(source_or_array)
+
     def get_obs(self, reset: bool = False) -> jnp.ndarray:
         obs, self.partner_mask, self.road_mask = flat_observation(
             self.scene, self.state, self.params, self.spec, self.reward_weights
         )
+        if self._vbd_obs_dim:
+            from gpudrive_lab_tpu.vbd.integration import (
+                egocentric_vbd_obs,
+                log_replay_trajectories,
+            )
+
+            if self.vbd_trajectories is None:
+                # default source until a model is installed via
+                # set_vbd_trajectories()
+                self.vbd_trajectories = log_replay_trajectories(
+                    self.scene, self.state
+                )
+            obs = jnp.concatenate(
+                [obs, egocentric_vbd_obs(self.state, self.vbd_trajectories)],
+                axis=-1,
+            )
         n = self.config.num_stack
         if n > 1:
             if reset or self.stacked_obs is None:
@@ -503,6 +536,20 @@ class GPUDriveTPUEnv:
         return obs
 
     def get_rewards(self) -> jnp.ndarray:
+        if self.config.reward_type == "distance_to_vdb_trajs":
+            from gpudrive_lab_tpu.vbd.integration import vbd_distance_reward
+
+            assert self.vbd_trajectories is not None, (
+                "distance_to_vdb_trajs requires set_vbd_trajectories()"
+            )
+            base = shaped_rewards(
+                self.scene, self.state, self.params, "weighted_combination",
+                self.reward_weights, self.world_time_steps,
+            )
+            return base + vbd_distance_reward(
+                self.state, self.vbd_trajectories, self.world_time_steps,
+                self.config.vbd_trajectory_weight,
+            )
         return shaped_rewards(
             self.scene,
             self.state,
