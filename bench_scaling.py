@@ -1,0 +1,123 @@
+"""Scaling-efficiency harness.
+
+Measures env-steps/s of the world-sharded sim step at 1..N devices and
+reports efficiency = SPS(N) / (N * SPS(1)) — the BASELINE.json north-star
+metric (target >= 85% from 1 chip to N hosts).
+
+With one physical chip (this environment) the harness runs on forced-host
+virtual CPU devices: it validates the sharded program and the measurement
+machinery rather than real interconnect scaling — on a pod slice the same
+script measures the real thing (run under jax.distributed, see
+gpudrive_lab_tpu/parallel/distributed.py).
+
+Prints one JSON line per device count plus a summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--max-devices", type=int, default=8)
+    p.add_argument("--worlds-per-device", type=int, default=8)
+    p.add_argument("--steps", type=int, default=30)
+    p.add_argument("--platform", default=None,
+                   help="default: forced-host cpu when single-chip")
+    args = p.parse_args()
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags
+            + f" --xla_force_host_platform_device_count={args.max_devices}"
+        ).strip()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    elif jax.config.jax_platforms != "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    import gpudrive_lab_tpu
+
+    gpudrive_lab_tpu.enable_compile_cache()
+
+    from gpudrive_lab_tpu.core import step as stepmod
+    from gpudrive_lab_tpu.core.types import Params
+    from gpudrive_lab_tpu.parallel.mesh import make_mesh, shard_worlds
+    from gpudrive_lab_tpu.scene.synthetic import synthetic_scene
+
+    params = Params()
+    results = {}
+    counts = [1]
+    n = 2
+    while n <= min(args.max_devices, jax.device_count()):
+        counts.append(n)
+        n *= 2
+
+    for nd in counts:
+        W = nd * args.worlds_per_device
+        mesh = make_mesh(nd)
+        scene = shard_worlds(
+            synthetic_scene(num_worlds=W, num_agents=8, num_roads=16), mesh
+        )
+        fresh = jax.jit(stepmod.reset, static_argnames="params")(
+            scene, None, params
+        )
+        jax.block_until_ready(fresh.pos)
+        acts = jnp.zeros((W, 128, 10))
+
+        @jax.jit
+        def body(scene, s, acc):
+            s2 = stepmod.step(scene, s, acts, params)
+            return s2, acc + s2.reward[0, 0]
+
+        s, acc = body(scene, fresh, jnp.float32(0))
+        jax.block_until_ready(acc)
+        best = None
+        for _ in range(3):
+            s, acc = fresh, jnp.float32(0)
+            t0 = time.time()
+            for _ in range(args.steps):
+                s, acc = body(scene, s, acc)
+            jax.block_until_ready(acc)
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        sps = args.steps * W / best
+        results[nd] = sps
+        print(
+            json.dumps(
+                {"devices": nd, "worlds": W, "world_steps_per_sec": round(sps)}
+            ),
+            file=sys.stderr,
+        )
+
+    base = results[counts[0]]
+    eff = {
+        nd: results[nd] / (nd * base) for nd in counts
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "value": round(eff[counts[-1]], 4),
+                "unit": f"SPS({counts[-1]} dev) / ({counts[-1]} x SPS(1))",
+                "per_device_counts": {str(k): round(v, 3) for k, v in eff.items()},
+                "virtual_devices": jax.default_backend() == "cpu",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,50 @@
+"""YAML experiment-config loading.
+
+Mirror of the reference's config loader (reference: gpudrive/utils/config.py
+load_config -> Box): YAML files become attribute-accessible namespaces with
+dotted-override support for CLI sweeps."""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Iterable
+
+
+class ConfigBox(dict):
+    """dict with attribute access (a minimal Box)."""
+
+    def __getattr__(self, k):
+        try:
+            v = self[k]
+        except KeyError as e:
+            raise AttributeError(k) from e
+        return ConfigBox(v) if isinstance(v, dict) else v
+
+    def __setattr__(self, k, v):
+        self[k] = v
+
+
+def load_config(path: str | Path) -> ConfigBox:
+    import yaml
+
+    with open(path) as f:
+        return ConfigBox(yaml.safe_load(f) or {})
+
+
+def apply_overrides(cfg: ConfigBox, overrides: Iterable[str]) -> ConfigBox:
+    """Apply "a.b.c=value" overrides (typer-style CLI dotted keys,
+    reference: baselines/ppo/ppo_pufferlib.py:155-258)."""
+    import json
+
+    for ov in overrides:
+        key, _, raw = ov.partition("=")
+        node: Any = cfg
+        parts = key.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        try:
+            val = json.loads(raw)
+        except json.JSONDecodeError:
+            val = raw
+        node[parts[-1]] = val
+    return cfg
