@@ -34,6 +34,11 @@ class BCConfig:
     gmm_components: int = 6
     action_dim: int = 3
     num_stack: int = 5
+    # Theory-of-mind auxiliary task: predict partner action classes from
+    # their fused tokens (reference: model.py:25-31 aux_head via use_tom,
+    # il.yaml:44-46)
+    use_tom: bool = False
+    tom_classes: int = 64
     ego_feat: int = C.EGO_FEAT_DIM
     ro_feat: int = C.PARTNER_FEAT_DIM
     rg_feat: int = C.ROAD_GRAPH_FEAT_DIM
@@ -274,7 +279,24 @@ class EarlyFusionAttnBCNet(nn.Module):
         context = jnp.concatenate([ego_f[:, 0], ego_ro, ego_rg], axis=-1)
 
         means, variances, weights = GMMHead(cfg)(context)
+        if cfg.use_tom:
+            h = nn.Dense(cfg.network_dim, dtype=D)(ro_f)
+            h = nn.relu(h)
+            tom_logits = nn.Dense(cfg.tom_classes, dtype=D)(h)
+            self.sow("intermediates", "tom_logits", tom_logits)
         return context, (means, variances, weights)
+
+
+def tom_aux_loss(tom_logits, partner_action_labels, partner_mask):
+    """Cross-entropy over non-masked partners' action classes
+    (reference: loss.py:7-30 aux_loss, unweighted variant)."""
+    import optax
+
+    per = optax.softmax_cross_entropy_with_integer_labels(
+        tom_logits, partner_action_labels
+    )
+    keep = (~partner_mask).astype(jnp.float32)
+    return (per * keep).sum() / jnp.maximum(keep.sum(), 1.0)
 
 
 def gmm_log_prob(actions, means, variances, weights):

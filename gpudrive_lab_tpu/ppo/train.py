@@ -76,6 +76,9 @@ def main():
     p.add_argument("--checkpoint-path", default="runs")
     p.add_argument("--checkpoint-interval", type=int, default=200)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--continue-training", action="store_true",
+                   help="resume from <checkpoint-path>/policy.pkl "
+                        "(reference: ppo_pufferlib.py:52-70)")
     args = p.parse_args()
 
     loader = SceneDataLoader(
@@ -103,6 +106,14 @@ def main():
     ckpt_dir = Path(args.checkpoint_path)
     ckpt_dir.mkdir(parents=True, exist_ok=True)
 
+    start_step = 0
+    if args.continue_training and (ckpt_dir / "policy.pkl").exists():
+        with open(ckpt_dir / "policy.pkl", "rb") as f:
+            ckpt = pickle.load(f)
+        variables = jax.tree.map(jnp.asarray, ckpt["variables"])
+        start_step = int(ckpt.get("global_step", 0))
+        print(json.dumps({"resumed_from": start_step}), flush=True)
+
     from gpudrive_lab_tpu.utils.logging import MetricsLogger
     from gpudrive_lab_tpu.utils.profiling import Profile, Utilization
 
@@ -111,9 +122,9 @@ def main():
     util = Utilization()
     util.start()
 
-    global_step = 0
+    global_step = start_step
     iteration = 0
-    resampled_at = 0
+    resampled_at = start_step
     try:
         while global_step < args.total_timesteps:
             if (
