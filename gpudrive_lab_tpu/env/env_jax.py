@@ -137,7 +137,10 @@ def flat_observation(
         parts.append(robs.reshape(robs.shape[0], robs.shape[1], -1))
         road_mask = mo[..., 7] == -1  # road_mask (env_torch.py:1258-1272)
 
-    obs = jnp.concatenate(parts, axis=-1)
+    if parts:
+        obs = jnp.concatenate(parts, axis=-1)
+    else:  # disable_classic_obs: no flat features (lidar-only mode)
+        obs = jnp.zeros(partner.shape[:2] + (0,), jnp.float32)
 
     # Partner mask: 0 partner / 1 static / 2 nonexist
     # (reference: env_torch.py:1224-1253).
@@ -326,10 +329,14 @@ class GPUDriveTPUEnv:
         self.scene: Scene = build_scene(scene_paths, self.params, max_roads)
         self._max_roads = self.scene.max_roads
 
+        # disable_classic_obs skips ego/partner/roadmap collection entirely
+        # (the reference's 2x-faster lidar-only mode,
+        # gpudrive/env/config.py:39-42)
+        classic = not config.disable_classic_obs
         self.spec = ObsSpec(
-            ego_state=config.ego_state,
-            road_map_obs=config.road_map_obs,
-            partner_obs=config.partner_obs,
+            ego_state=config.ego_state and classic,
+            road_map_obs=config.road_map_obs and classic,
+            partner_obs=config.partner_obs and classic,
             norm_obs=config.norm_obs,
             reward_conditioned=(config.reward_type == "reward_conditioned"),
         )
@@ -345,6 +352,7 @@ class GPUDriveTPUEnv:
         ) * config.num_stack
 
         self._build_action_table()
+        self._build_spaces()
         self._reset_fn = jax.jit(stepmod.reset, static_argnames="params")
         self._step_fn = jax.jit(stepmod.step, static_argnames="params")
 
@@ -378,6 +386,27 @@ class GPUDriveTPUEnv:
         self.action_key_to_values = {
             i: [float(v) for v in row] for i, row in enumerate(table)
         }
+
+    def _build_spaces(self):
+        """gymnasium spaces over the single-agent view
+        (reference: env_torch.py constructor + _set_discrete_action_space)."""
+        try:
+            import gymnasium
+        except ImportError:  # pragma: no cover
+            self.observation_space = None
+            self.action_space = None
+            return
+        self.observation_space = gymnasium.spaces.Box(
+            low=-np.inf, high=np.inf,
+            shape=(self.observation_dim,), dtype=np.float32,
+        )
+        if self.action_keys is not None:
+            self.action_space = gymnasium.spaces.Discrete(self.action_space_n)
+        else:  # state dynamics: continuous 10-dim action rows
+            self.action_space = gymnasium.spaces.Box(
+                low=-np.inf, high=np.inf, shape=(C.ACTION_DIM,),
+                dtype=np.float32,
+            )
 
     def _default_reward_weights(self) -> jnp.ndarray:
         cfg = self.config

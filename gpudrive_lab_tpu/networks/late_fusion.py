@@ -98,6 +98,62 @@ class LateFusionPolicy(nn.Module):
         return logits.astype(jnp.float32), value[..., 0].astype(jnp.float32)
 
 
+class LateFusionLSTMPolicy(nn.Module):
+    """Recurrent variant: late-fusion encoder -> LSTM -> actor/critic
+    (reference: the optional use_rnn/LSTM path of the puffer policy,
+    integrations/puffer/ppo.py:59-73,156-163)."""
+
+    config: PolicyConfig = PolicyConfig()
+    lstm_hidden: int = 128
+
+    def initialize_carry(self, batch_shape):
+        h = jnp.zeros(batch_shape + (self.lstm_hidden,), jnp.float32)
+        return (h, h)
+
+    @nn.compact
+    def __call__(self, obs_flat: jnp.ndarray, carry, done=None):
+        """obs_flat: [..., obs_dim]; carry: ((..., H), (..., H)); done resets
+        the carry for finished episodes before the cell update.
+        Returns (new_carry, logits, value)."""
+        cfg = self.config
+        e = cfg.ego_feat_dim
+        p = (cfg.max_agents - 1) * C.PARTNER_FEAT_DIM
+        ego = obs_flat[..., :e]
+        partner = obs_flat[..., e : e + p].reshape(
+            obs_flat.shape[:-1] + (cfg.max_agents - 1, C.PARTNER_FEAT_DIM)
+        )
+        road = obs_flat[..., e + p :].reshape(
+            obs_flat.shape[:-1] + (cfg.top_k_roads, C.ROAD_GRAPH_FEAT_DIM)
+        )
+        feats = jnp.concatenate(
+            [
+                _Embed(cfg.input_dim, cfg.act_func, cfg.dtype)(ego),
+                _Embed(cfg.input_dim, cfg.act_func, cfg.dtype)(partner).max(
+                    axis=-2
+                ),
+                _Embed(cfg.input_dim, cfg.act_func, cfg.dtype)(road).max(
+                    axis=-2
+                ),
+            ],
+            axis=-1,
+        )
+        if done is not None:
+            m = (1.0 - done)[..., None]
+            carry = (carry[0] * m, carry[1] * m)
+        cell = nn.OptimizedLSTMCell(self.lstm_hidden, dtype=cfg.dtype)
+        carry, hidden = cell(carry, feats)
+        logits = nn.Dense(
+            cfg.action_dim, dtype=cfg.dtype,
+            kernel_init=nn.initializers.orthogonal(0.01),
+        )(hidden)
+        value = nn.Dense(
+            1, dtype=cfg.dtype, kernel_init=nn.initializers.orthogonal(1.0)
+        )(hidden)
+        return carry, logits.astype(jnp.float32), value[..., 0].astype(
+            jnp.float32
+        )
+
+
 def sample_logits(rng, logits, action=None, deterministic=False):
     """Categorical sample + logprob + entropy
     (reference: late_fusion.py sample_logits via pufferlib)."""

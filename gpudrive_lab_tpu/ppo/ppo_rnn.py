@@ -1,0 +1,222 @@
+"""Recurrent PPO (LSTM policy with BPTT).
+
+The recurrent counterpart of ppo.py, covering the reference's optional
+use_rnn/bptt_horizon path (reference: integrations/puffer/ppo.py:59-73,
+156-163, Experience LSTM state slots :530-666).  Differences from the
+feed-forward learner:
+
+  * the rollout carries per-agent LSTM state, zeroed on episode end;
+  * the update REPLAYS the sequence through the network (CleanRL-style BPTT
+    over the full rollout) with minibatches over the world axis, so
+    recurrent credit assignment stays exact and worlds stay device-sharded.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gpudrive_lab_tpu import constants as C
+from gpudrive_lab_tpu.core import step as stepmod
+from gpudrive_lab_tpu.core.types import Params, Scene, SimState
+from gpudrive_lab_tpu.env.env_jax import ObsSpec, flat_observation, shaped_rewards
+from gpudrive_lab_tpu.networks.late_fusion import (
+    LateFusionLSTMPolicy,
+    sample_logits,
+)
+from gpudrive_lab_tpu.ppo.ppo import PPOConfig
+
+
+class RnnCarry(NamedTuple):
+    state: SimState
+    lstm: tuple  # ((W, A, H), (W, A, H))
+    world_time_steps: jnp.ndarray
+    rng: jnp.ndarray
+
+
+class RnnTransition(NamedTuple):
+    obs: jnp.ndarray
+    done_pre: jnp.ndarray  # done BEFORE the step (resets the carry)
+    action: jnp.ndarray
+    logprob: jnp.ndarray
+    value: jnp.ndarray
+    reward: jnp.ndarray
+    done: jnp.ndarray
+    mask: jnp.ndarray
+
+
+def make_rnn_ppo_funcs(
+    policy: LateFusionLSTMPolicy,
+    params: Params,
+    spec: ObsSpec,
+    action_table: jnp.ndarray,
+    reward_type: str,
+    config: PPOConfig,
+):
+    tx = optax.chain(
+        optax.clip_by_global_norm(config.max_grad_norm),
+        optax.adam(config.learning_rate, eps=1e-5),
+    )
+
+    def rollout(scene, variables, carry: RnnCarry, fresh: SimState, weights):
+        controlled = scene.agents.controlled
+
+        def body(carry: RnnCarry, _):
+            rng, k = jax.random.split(carry.rng)
+            obs, _, _ = flat_observation(
+                scene, carry.state, params, spec, weights
+            )
+            done_pre = (carry.state.done != 0).astype(jnp.float32)
+            lstm, logits, value = policy.apply(
+                variables, obs, carry.lstm, done_pre
+            )
+            a, logp, _ = sample_logits(k, logits)
+            mask = controlled & (carry.state.done == 0)
+            act = jnp.zeros(a.shape + (C.ACTION_DIM,), jnp.float32)
+            act = act.at[..., :3].set(action_table[a])
+            state = stepmod.step(scene, carry.state, act, params)
+            reward = shaped_rewards(
+                scene, state, params, reward_type, weights,
+                carry.world_time_steps,
+            )
+            done = (state.done != 0).astype(jnp.float32)
+            t = RnnTransition(
+                obs=obs, done_pre=done_pre, action=a, logprob=logp,
+                value=value, reward=reward, done=done, mask=mask,
+            )
+            world_done = jnp.all(
+                (state.done != 0) | ~scene.agents.valid, axis=1
+            )
+            blend = lambda f, s: jnp.where(
+                world_done.reshape((-1,) + (1,) * (s.ndim - 1)), f, s
+            )
+            state = jax.tree.map(blend, fresh, state)
+            wts = jnp.where(world_done, 0, carry.world_time_steps + 1)
+            return RnnCarry(state, lstm, wts, rng), t
+
+        return jax.lax.scan(body, carry, None, length=config.rollout_len)
+
+    def gae(traj, last_value):
+        next_values = jnp.concatenate(
+            [traj.value[1:], last_value[None]], axis=0
+        )
+
+        def scan_body(adv, xs):
+            reward, value, next_value, done = xs
+            delta = reward + config.gamma * next_value * (1.0 - done) - value
+            adv = delta + config.gamma * config.gae_lambda * (1.0 - done) * adv
+            return adv, adv
+
+        _, advs = jax.lax.scan(
+            scan_body, jnp.zeros_like(last_value),
+            (traj.reward, traj.value, next_values, traj.done), reverse=True,
+        )
+        return advs, advs + traj.value
+
+    def loss_fn(variables, mb, init_lstm):
+        """BPTT replay over the whole rollout for a world minibatch.
+        mb arrays: [T, Wm, A, ...]; init_lstm: ((Wm, A, H), (Wm, A, H))."""
+
+        def scan_body(lstm, xs):
+            obs, done_pre, action = xs
+            lstm, logits, value = policy.apply(variables, obs, lstm, done_pre)
+            logp_all = jax.nn.log_softmax(logits)
+            logp = jnp.take_along_axis(
+                logp_all, action[..., None].astype(jnp.int32), axis=-1
+            )[..., 0]
+            ent = -jnp.sum(jnp.exp(logp_all) * logp_all, axis=-1)
+            return lstm, (logp, ent, value)
+
+        _, (newlogp, entropy, newvalue) = jax.lax.scan(
+            scan_body, init_lstm, (mb["obs"], mb["done_pre"], mb["action"])
+        )
+
+        m = mb["mask"].astype(jnp.float32)
+        msum = jnp.maximum(m.sum(), 1.0)
+        logratio = newlogp - mb["logprob"]
+        ratio = jnp.exp(logratio)
+        adv = mb["adv"]
+        if config.norm_adv:
+            mean = (adv * m).sum() / msum
+            var = (((adv - mean) ** 2) * m).sum() / msum
+            adv = (adv - mean) * jax.lax.rsqrt(var + 1e-8)
+        pg1 = -adv * ratio
+        pg2 = -adv * jnp.clip(
+            ratio, 1.0 - config.clip_coef, 1.0 + config.clip_coef
+        )
+        pg_loss = (jnp.maximum(pg1, pg2) * m).sum() / msum
+        v_loss = (0.5 * (newvalue - mb["ret"]) ** 2 * m).sum() / msum
+        ent_loss = (entropy * m).sum() / msum
+        loss = pg_loss - config.ent_coef * ent_loss + config.vf_coef * v_loss
+        approx_kl = (((ratio - 1.0) - logratio) * m).sum() / msum
+        return loss, {
+            "pg_loss": pg_loss, "v_loss": v_loss, "entropy": ent_loss,
+            "approx_kl": approx_kl,
+        }
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def train_step(scene, variables, opt_state, carry: RnnCarry,
+                   fresh: SimState, weights):
+        init_lstm = carry.lstm
+        carry, traj = rollout(scene, variables, carry, fresh, weights)
+        last_obs, _, _ = flat_observation(
+            scene, carry.state, params, spec, weights
+        )
+        _, _, last_value = policy.apply(
+            variables, last_obs, carry.lstm,
+            (carry.state.done != 0).astype(jnp.float32),
+        )
+        advs, rets = gae(traj, last_value)
+        batch = {
+            "obs": traj.obs, "done_pre": traj.done_pre, "action": traj.action,
+            "logprob": traj.logprob, "value": traj.value, "adv": advs,
+            "ret": rets, "mask": traj.mask,
+        }
+        W = traj.obs.shape[1]
+        M = min(config.num_minibatches, W)
+        assert W % M == 0, "num worlds must divide num_minibatches"
+
+        def epoch_body(carry_in, rng_e):
+            variables, opt_state = carry_in
+            perm = jax.random.permutation(rng_e, W)
+
+            def mb_body(carry_mb, w_idx):
+                variables, opt_state = carry_mb
+                mb = {k: jnp.take(v, w_idx, axis=1) for k, v in batch.items()}
+                lstm0 = jax.tree.map(
+                    lambda x: jnp.take(x, w_idx, axis=0), init_lstm
+                )
+                (loss, aux), grads = grad_fn(variables, mb, lstm0)
+                updates, opt_state = tx.update(grads, opt_state, variables)
+                variables = optax.apply_updates(variables, updates)
+                return (variables, opt_state), aux
+
+            (variables, opt_state), auxes = jax.lax.scan(
+                mb_body, (variables, opt_state), perm.reshape(M, W // M)
+            )
+            return (variables, opt_state), auxes
+
+        rngs = jax.random.split(carry.rng, config.update_epochs)
+        (variables, opt_state), auxes = jax.lax.scan(
+            epoch_body, (variables, opt_state), rngs
+        )
+        metrics = jax.tree.map(lambda x: x.mean(), auxes)
+        metrics["samples"] = traj.mask.sum()
+        return variables, opt_state, carry, metrics
+
+    def init_fn(rng, num_worlds, example_obs):
+        lstm0 = policy.initialize_carry((1,))
+        variables = policy.init(
+            rng, example_obs,
+            policy.initialize_carry((example_obs.shape[0],)),
+            jnp.zeros(example_obs.shape[0]),
+        )
+        opt_state = tx.init(variables)
+        lstm = policy.initialize_carry((num_worlds, C.MAX_AGENTS))
+        return variables, opt_state, lstm
+
+    return init_fn, train_step
