@@ -80,7 +80,14 @@ def flat_observation(
     partner_mask = None
     road_mask = None
 
-    partner = obsmod.partner_observations(scene, state, params)
+    # Partner collection only when enabled — it is the most expensive gather
+    # and the reference skips it entirely in lidar-only mode
+    # (env_torch.py:1224-1272 returns empty masks when partner_obs is off).
+    partner = (
+        obsmod.partner_observations(scene, state, params)
+        if spec.partner_obs
+        else None
+    )
 
     if spec.ego_state:
         so = obsmod.self_observation(scene, state)
@@ -140,25 +147,27 @@ def flat_observation(
     if parts:
         obs = jnp.concatenate(parts, axis=-1)
     else:  # disable_classic_obs: no flat features (lidar-only mode)
-        obs = jnp.zeros(partner.shape[:2] + (0,), jnp.float32)
+        W, A = scene.agents.valid.shape
+        obs = jnp.zeros((W, A, 0), jnp.float32)
 
-    # Partner mask: 0 partner / 1 static / 2 nonexist
-    # (reference: env_torch.py:1224-1253).
-    ids = partner[..., 8]
-    feat_sum = jnp.sum(partner[..., :6], axis=-1)
-    A = partner.shape[1]
-    k = jnp.arange(A - 1)
-    src = k[None, :] + (k[None, :] >= jnp.arange(A)[:, None])
-    other_static = jnp.take_along_axis(
-        jnp.broadcast_to(
-            scene.agents.static[:, None, :], (partner.shape[0], A, A)
-        ),
-        src[None],
-        axis=2,
-    )
-    partner_mask = jnp.where(
-        other_static & (feat_sum != 0), 1, jnp.where(ids <= -1, 2, 0)
-    )
+    if spec.partner_obs:
+        # Partner mask: 0 partner / 1 static / 2 nonexist
+        # (reference: env_torch.py:1224-1253).
+        ids = partner[..., 8]
+        feat_sum = jnp.sum(partner[..., :6], axis=-1)
+        A = partner.shape[1]
+        k = jnp.arange(A - 1)
+        src = k[None, :] + (k[None, :] >= jnp.arange(A)[:, None])
+        other_static = jnp.take_along_axis(
+            jnp.broadcast_to(
+                scene.agents.static[:, None, :], (partner.shape[0], A, A)
+            ),
+            src[None],
+            axis=2,
+        )
+        partner_mask = jnp.where(
+            other_static & (feat_sum != 0), 1, jnp.where(ids <= -1, 2, 0)
+        )
     return obs, partner_mask, road_mask
 
 
@@ -443,7 +452,12 @@ class GPUDriveTPUEnv:
         hi = np.array(
             [cfg.collision_weight_ub, cfg.goal_achieved_weight_ub, cfg.off_road_weight_ub]
         )
-        if mode == "fixed" and agent_type is not None:
+        if mode == "fixed":
+            if agent_type is None:
+                raise ValueError(
+                    "condition_mode='fixed' requires agent_type=[c, g, o] "
+                    "weights (reference: env_torch.py:376-381)"
+                )
             w = np.broadcast_to(
                 np.asarray(agent_type, np.float32),
                 (self.num_worlds, C.MAX_AGENTS, 3),
@@ -489,9 +503,21 @@ class GPUDriveTPUEnv:
             self.state = self._reset_fn(self.scene, self.state, self.params, jmask)
             self.world_time_steps = _zero_where(jmask, self.world_time_steps)
         if self.config.reward_type == "reward_conditioned":
-            self.reward_weights = self._sample_reward_weights(
-                condition_mode, agent_type
-            )
+            fresh_w = self._sample_reward_weights(condition_mode, agent_type)
+            if env_idx_list is None or self.reward_weights is None:
+                self.reward_weights = fresh_w
+            else:
+                # only re-condition the reset worlds
+                # (reference: env_torch.py _set_reward_weights(env_idx_list))
+                wmask = np.zeros(self.num_worlds, bool)
+                wmask[np.asarray(env_idx_list)] = True
+                self.reward_weights = jnp.asarray(
+                    np.where(
+                        wmask[:, None, None],
+                        np.asarray(fresh_w),
+                        np.asarray(self.reward_weights),
+                    )
+                )
         if self.config.init_steps > 0:
             self.advance_sim_with_log_playback(self.config.init_steps)
         return self.get_obs(reset=True)
@@ -605,23 +631,25 @@ class GPUDriveTPUEnv:
     def get_lidar_obs(self):
         """[W, A, 3, S, 4] lidar samples (reference:
         env_torch.py:898-924 via the lidar_tensor export)."""
-        from gpudrive_lab_tpu.core.lidar import lidar_observation
+        if getattr(self, "_lidar_fn", None) is None:
+            from gpudrive_lab_tpu.core.lidar import lidar_observation
 
+            self._lidar_fn = jax.jit(
+                lidar_observation, static_argnames="params"
+            )
         zeros = jnp.zeros(
             (self.num_worlds, C.MAX_AGENTS, C.ACTION_DIM), jnp.float32
         )
-        return jax.jit(lidar_observation, static_argnames="params")(
-            self.scene, self.state, self.params, zeros
-        )
+        return self._lidar_fn(self.scene, self.state, self.params, zeros)
 
     def get_bev_obs(self):
         """[W, A, RES, RES, 1] type-id grid (reference:
         env_torch.py:926-945 via the bev_observation_tensor export)."""
-        from gpudrive_lab_tpu.core.bev import bev_observation
+        if getattr(self, "_bev_fn", None) is None:
+            from gpudrive_lab_tpu.core.bev import bev_observation
 
-        return jax.jit(bev_observation, static_argnames="params")(
-            self.scene, self.state, self.params
-        )
+            self._bev_fn = jax.jit(bev_observation, static_argnames="params")
+        return self._bev_fn(self.scene, self.state, self.params)
 
     # ----- log playback / experts ---------------------------------------
 

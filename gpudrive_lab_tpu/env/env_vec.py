@@ -127,16 +127,23 @@ class VecGPUDriveEnv:
 
         self.global_step += self.num_agents
         self._steps_since_resample += self.num_agents
+
+        # Flatten THIS step's outputs with the current scene's agent slots
+        # before any resample changes the mask.
+        rewards = self._flat(rewards_full)
+        terminals = self._flat(dones_full)
+        truncations = np.zeros_like(terminals)
+
         if (
             self.resample_interval
             and self._steps_since_resample >= self.resample_interval
         ):
+            # NB: after a resample the agent count (and thus obs length) can
+            # change — callers must re-derive their buffers, exactly as with
+            # the reference's resample_scenario_batch.
             self.resample_scenario_batch()
 
         obs = self._flat(self.env.get_obs())
-        rewards = self._flat(rewards_full)
-        terminals = self._flat(dones_full)
-        truncations = np.zeros_like(terminals)
         return obs, rewards, terminals, truncations, {
             "episode_stats": episode_stats
         }

@@ -167,7 +167,13 @@ def main():
              "config": dataclasses.asdict(bc_cfg)},
             f,
         )
-    metrics = evaluate_closed_loop(env, model, variables, bc_cfg)
+    # Closed-loop eval needs an env where the policy actually controls
+    # agents (the data-generation env was all-expert).
+    eval_env = GPUDriveTPUEnv(
+        dataclasses.replace(env_cfg, max_controlled_agents=128),
+        scene_paths=env.scene_paths,
+    )
+    metrics = evaluate_closed_loop(eval_env, model, variables, bc_cfg)
     print(json.dumps(metrics))
 
 

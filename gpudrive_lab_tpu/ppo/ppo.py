@@ -279,10 +279,15 @@ def make_ppo_funcs(
             )
             return (variables, opt_state), auxes
 
-        rngs = jax.random.split(carry.rng, config.update_epochs)
+        # Fresh key branch for the update; keep a distinct key for the next
+        # rollout (reusing carry.rng for both correlated shuffles with the
+        # following rollout's action noise).
+        rng_epochs, rng_next = jax.random.split(carry.rng)
+        rngs = jax.random.split(rng_epochs, config.update_epochs)
         (variables, opt_state), auxes = jax.lax.scan(
             epoch_body, (variables, opt_state), rngs
         )
+        carry = carry._replace(rng=rng_next)
 
         metrics = jax.tree.map(lambda x: x.mean(), auxes)
         metrics["mean_reward"] = (traj.reward * traj.mask).sum() / jnp.maximum(

@@ -94,6 +94,11 @@ def make_rnn_ppo_funcs(
                 world_done.reshape((-1,) + (1,) * (s.ndim - 1)), f, s
             )
             state = jax.tree.map(blend, fresh, state)
+            # zero the recurrent state of auto-reset worlds so the new
+            # episode starts memoryless
+            lstm = jax.tree.map(
+                lambda h: jnp.where(world_done[:, None, None], 0.0, h), lstm
+            )
             wts = jnp.where(world_done, 0, carry.world_time_steps + 1)
             return RnnCarry(state, lstm, wts, rng), t
 
@@ -200,10 +205,12 @@ def make_rnn_ppo_funcs(
             )
             return (variables, opt_state), auxes
 
-        rngs = jax.random.split(carry.rng, config.update_epochs)
+        rng_epochs, rng_next = jax.random.split(carry.rng)
+        rngs = jax.random.split(rng_epochs, config.update_epochs)
         (variables, opt_state), auxes = jax.lax.scan(
             epoch_body, (variables, opt_state), rngs
         )
+        carry = carry._replace(rng=rng_next)
         metrics = jax.tree.map(lambda x: x.mean(), auxes)
         metrics["samples"] = traj.mask.sum()
         return variables, opt_state, carry, metrics

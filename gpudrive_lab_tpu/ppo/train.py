@@ -138,7 +138,9 @@ def main():
                     )
                     carry = EnvCarry(
                         state=jax.tree.map(jnp.copy, fresh),
-                        world_time_steps=carry.world_time_steps,
+                        world_time_steps=jnp.zeros(
+                            env.num_worlds, jnp.int32
+                        ),
                         rng=carry.rng,
                     )
                 resampled_at = global_step

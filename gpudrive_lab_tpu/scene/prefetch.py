@@ -46,8 +46,11 @@ class PrefetchingSceneLoader:
 
     def _kick(self):
         paths = self._advance()
+        # NB: must pass the default `deleted` explicitly — lru_cache keys on
+        # the literal argument tuple, so a 2-arg call would warm a different
+        # entry than build_scene's 3-arg call reads.
         futures = [
-            self._pool.submit(compile_world, p, self.params)
+            self._pool.submit(compile_world, p, self.params, frozenset())
             for p in paths
         ]
         self._pending = (paths, futures)

@@ -21,7 +21,7 @@ def test_prefetch_warms_cache(example_scene_paths):
         # batch is already compiled: warm fetch is instant
         t = time.time()
         for p in paths:
-            compiler.compile_world(p, params)
+            compiler.compile_world(p, params, frozenset())
         assert time.time() - t < 0.05
         # iterator keeps producing batches (wraps around)
         for _ in range(4):
