@@ -47,6 +47,55 @@ class LogReplaySource:
         return log_replay_trajectories(scene, state)
 
 
+class VBDTrajectorySource:
+    """Drive the TrajectorySource protocol with the flax VBD denoiser
+    (vbd/model.py): build the sample batch from the sim state, run reverse
+    diffusion, scatter the denoised trajectories back to sim agent slots
+    (reference: env_torch.py:1386-1443 _generate_vbd_trajectories)."""
+
+    def __init__(self, model, variables, scheduler, config, seed: int = 0):
+        import jax as _jax
+
+        self.model = model
+        self.variables = variables
+        self.scheduler = scheduler
+        self.config = config
+        self._rng = _jax.random.PRNGKey(seed)
+
+    def __call__(self, scene: Scene, state: SimState) -> jnp.ndarray:
+        import jax as _jax
+        import numpy as np
+
+        from gpudrive_lab_tpu.vbd.data_utils import (
+            VBDSampleConfig,
+            process_scenario_data,
+        )
+        from gpudrive_lab_tpu.vbd.model import sample_denoiser
+
+        cfg = self.config
+        batch_np = process_scenario_data(
+            scene, state, current_step=0,
+            config=VBDSampleConfig(max_agents=cfg.agents_len),
+        )
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        self._rng, k = _jax.random.split(self._rng)
+        out = sample_denoiser(
+            self.model, self.variables, self.scheduler, batch, k, cfg
+        )
+        trajs = np.asarray(out["denoised_trajs"])  # [W, N, F, 5]
+        W, A = state.pos.shape[:2]
+        T = C.TRAJECTORY_LEN
+        full = np.zeros((W, A, T, VBD_FEATURES), np.float32)
+        ids = batch_np["agents_id"]
+        F = min(cfg.future_len, T)
+        for w in range(W):
+            for k_, a in enumerate(ids[w]):
+                if a >= 0:
+                    full[w, a, :F] = trajs[w, k_, :F]
+                    full[w, a, F:] = trajs[w, k_, F - 1]
+        return jnp.asarray(full)
+
+
 @jax.jit
 def egocentric_vbd_obs(state: SimState, vbd_trajectories: jnp.ndarray):
     """Transform global [W, A, T, 5] predictions into each agent's frame and
