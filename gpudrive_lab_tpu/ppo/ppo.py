@@ -107,8 +107,8 @@ def make_ppo_funcs(
         a, logp, ent = sample_logits(rng, logits, action)
         return a, logp, ent, value
 
-    def rollout(scene, variables, carry: EnvCarry, fresh: SimState,
-                reward_weights):
+    def rollout_body(scene, variables, carry: EnvCarry, fresh: SimState,
+                     reward_weights):
         controlled = scene.agents.controlled
 
         def body(carry: EnvCarry, _):
@@ -160,7 +160,32 @@ def make_ppo_funcs(
             wts = jnp.where(world_done, 0, carry.world_time_steps + 1)
             return EnvCarry(state, wts, rng), t
 
+        return body
+
+    def rollout(scene, variables, carry: EnvCarry, fresh: SimState,
+                reward_weights):
+        body = rollout_body(scene, variables, carry, fresh, reward_weights)
         carry, traj = jax.lax.scan(body, carry, None, length=config.rollout_len)
+        return carry, traj
+
+    # Single rollout step as its own jit program: the python-dispatch rollout
+    # mode chains this instead of lax.scan (scanned programs compile and run
+    # pathologically slowly on some remote TPU runtimes; see bench.py notes).
+    @jax.jit
+    def rollout_step(scene, variables, carry: EnvCarry, fresh: SimState,
+                     reward_weights):
+        body = rollout_body(scene, variables, carry, fresh, reward_weights)
+        return body(carry, None)
+
+    def collect_rollout_loop(scene, variables, carry: EnvCarry,
+                             fresh: SimState, reward_weights):
+        ts = []
+        for _ in range(config.rollout_len):
+            carry, t = rollout_step(
+                scene, variables, carry, fresh, reward_weights
+            )
+            ts.append(t)
+        traj = jax.tree.map(lambda *xs: jnp.stack(xs), *ts)
         return carry, traj
 
     def gae(traj: Transition, last_value):
@@ -233,9 +258,8 @@ def make_ppo_funcs(
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def train_step(scene, variables, opt_state, carry: EnvCarry,
-                   fresh: SimState, reward_weights):
-        carry, traj = rollout(scene, variables, carry, fresh, reward_weights)
+    def update(scene, variables, opt_state, carry: EnvCarry, traj,
+               reward_weights):
         last_obs, _, _ = flat_observation(
             scene, carry.state, params, spec, reward_weights
         )
@@ -301,9 +325,29 @@ def make_ppo_funcs(
         metrics["perc_off_road"] = traj.ep_off_road.sum() / n_ep
         return variables, opt_state, carry, metrics
 
+    def train_step(scene, variables, opt_state, carry: EnvCarry,
+                   fresh: SimState, reward_weights):
+        """Fully-jittable iteration: scanned rollout + update (jit the whole
+        thing on backends where lax.scan performs well)."""
+        carry, traj = rollout(scene, variables, carry, fresh, reward_weights)
+        return update(scene, variables, opt_state, carry, traj, reward_weights)
+
+    update_jit = jax.jit(update)
+
+    def train_step_loop(scene, variables, opt_state, carry: EnvCarry,
+                        fresh: SimState, reward_weights):
+        """Python-dispatch rollout + jitted update: use when the backend
+        executes scanned bodies poorly (e.g. remote TPU runtimes)."""
+        carry, traj = collect_rollout_loop(
+            scene, variables, carry, fresh, reward_weights
+        )
+        return update_jit(
+            scene, variables, opt_state, carry, traj, reward_weights
+        )
+
     def init_fn(rng, scene, example_obs):
         variables = policy.init(rng, example_obs)
         opt_state = tx.init(variables)
         return variables, opt_state
 
-    return init_fn, train_step
+    return init_fn, train_step, train_step_loop

@@ -33,13 +33,18 @@ from gpudrive_lab_tpu.ppo.ppo import EnvCarry, PPOConfig, make_ppo_funcs
 
 
 def build_trainer(env: GPUDriveTPUEnv, ppo_config: PPOConfig,
-                  policy_config: PolicyConfig | None = None, seed: int = 42):
-    """Returns (policy, variables, opt_state, carry, fresh, train_fn)."""
+                  policy_config: PolicyConfig | None = None, seed: int = 42,
+                  rollout_mode: str = "scan"):
+    """Returns (policy, variables, opt_state, carry, fresh, train_fn).
+
+    rollout_mode 'scan' jits the whole iteration; 'loop' python-dispatches
+    the rollout step (faster on remote TPU runtimes where lax.scan bodies
+    execute poorly)."""
     policy_config = policy_config or PolicyConfig(
         action_dim=env.action_space_n
     )
     policy = LateFusionPolicy(policy_config)
-    init_fn, train_step = make_ppo_funcs(
+    init_fn, train_step, train_step_loop = make_ppo_funcs(
         policy,
         env.params,
         env.spec,
@@ -58,9 +63,12 @@ def build_trainer(env: GPUDriveTPUEnv, ppo_config: PPOConfig,
         world_time_steps=jnp.zeros(env.num_worlds, jnp.int32),
         rng=rng,
     )
-    # Donate params/opt/carry buffers (carry holds a copy of `fresh`, which
-    # is passed separately and must stay alive across iterations).
-    train_fn = jax.jit(train_step, donate_argnums=(1, 2, 3))
+    if rollout_mode == "loop":
+        train_fn = train_step_loop
+    else:
+        # Donate params/opt/carry buffers (carry holds a copy of `fresh`,
+        # which is passed separately and must stay alive across iterations).
+        train_fn = jax.jit(train_step, donate_argnums=(1, 2, 3))
     return policy, variables, opt_state, carry, fresh, train_fn
 
 
@@ -79,6 +87,7 @@ def main():
     p.add_argument("--continue-training", action="store_true",
                    help="resume from <checkpoint-path>/policy.pkl "
                         "(reference: ppo_pufferlib.py:52-70)")
+    p.add_argument("--rollout-mode", choices=["scan", "loop"], default="scan")
     args = p.parse_args()
 
     loader = SceneDataLoader(
@@ -100,7 +109,7 @@ def main():
     env = GPUDriveTPUEnv(cfg, data_loader=loader)
     ppo_cfg = PPOConfig(rollout_len=args.rollout_len)
     policy, variables, opt_state, carry, fresh, train_fn = build_trainer(
-        env, ppo_cfg, seed=args.seed
+        env, ppo_cfg, seed=args.seed, rollout_mode=args.rollout_mode
     )
 
     ckpt_dir = Path(args.checkpoint_path)
