@@ -52,7 +52,11 @@ def process_tfrecord(args_tuple):
 
     scenario_pb2 = _require_deps()
     dataset = tf.data.TFRecordDataset(tfrecord_path, compression_type="")
-    base = os.path.basename(tfrecord_path).replace(".tfrecord", "")
+    # Keep the 'tfrecord-XXXXX-of-YYYYY' suffix as the basename so the
+    # produced JSONs match SceneDataLoader/select_scenes' startswith
+    # filter (reference names files the same way:
+    # process_waymo_files.py scenario_path construction).
+    base = os.path.basename(tfrecord_path).split(".")[-1]
     n_written = n_filtered = 0
     for i, proto in enumerate(as_proto_iterator(dataset, scenario_pb2)):
         name = f"{base}_{i}.json"

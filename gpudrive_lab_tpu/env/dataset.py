@@ -40,8 +40,14 @@ class SceneDataLoader:
         ]
         self.dataset = self.dataset[: min(self.dataset_size, len(self.dataset))]
         if self.scene_nums is not None:
-            if sorted(self.scene_nums)[-1] >= self.dataset_size:
-                raise ValueError("scene_nums out of bounds for dataset size")
+            # bound-check against the files actually present, not the
+            # requested dataset_size (the reference checks dataset_size and
+            # then crashes with IndexError on sparse directories)
+            if sorted(self.scene_nums)[-1] >= len(self.dataset):
+                raise ValueError(
+                    "scene_nums out of bounds for the "
+                    f"{len(self.dataset)} scenes found"
+                )
             self.dataset = [self.dataset[i] for i in self.scene_nums]
             self.dataset_size = len(self.dataset)
         if self.dataset_size < self.batch_size:

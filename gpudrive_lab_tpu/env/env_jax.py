@@ -152,19 +152,14 @@ def flat_observation(
 
     if spec.partner_obs:
         # Partner mask: 0 partner / 1 static / 2 nonexist
-        # (reference: env_torch.py:1224-1253).
+        # (reference: env_torch.py:1224-1253); the all-but-self slot map
+        # matches partner_observations' OtherAgents wiring.
         ids = partner[..., 8]
         feat_sum = jnp.sum(partner[..., :6], axis=-1)
         A = partner.shape[1]
         k = jnp.arange(A - 1)
         src = k[None, :] + (k[None, :] >= jnp.arange(A)[:, None])
-        other_static = jnp.take_along_axis(
-            jnp.broadcast_to(
-                scene.agents.static[:, None, :], (partner.shape[0], A, A)
-            ),
-            src[None],
-            axis=2,
-        )
+        other_static = scene.agents.static[:, src]
         partner_mask = jnp.where(
             other_static & (feat_sum != 0), 1, jnp.where(ids <= -1, 2, 0)
         )

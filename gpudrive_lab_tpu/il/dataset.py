@@ -30,9 +30,10 @@ class ExpertDataset:
         controlled = data["controlled_mask"]  # [W, A]
 
         # valid sample times: t in [rollout_len-1, T - pred_len], agent
-        # controlled and alive at t (reference: dataloader.py:60-120)
+        # controlled and alive at t (reference: dataloader.py:60-120);
+        # inclusive upper bound: labels t..t+pred_len-1 must stay <= T-1
         samples = []
-        for t in range(rollout_len - 1, T - pred_len):
+        for t in range(rollout_len - 1, T - pred_len + 1):
             alive = ~dead[t]
             m = alive & controlled
             ws, asq = np.nonzero(m)

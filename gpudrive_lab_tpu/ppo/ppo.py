@@ -81,6 +81,27 @@ class EnvCarry(NamedTuple):
     rng: jnp.ndarray
 
 
+def compute_gae(rewards, values, dones, last_value, gamma, gae_lambda):
+    """Reverse-scan GAE over [T, ...] arrays (replaces the reference's
+    Cython compute_gae, integrations/puffer/ppo.py:27-32,237-245).  Shared
+    by the feed-forward and recurrent learners."""
+    next_values = jnp.concatenate([values[1:], last_value[None]], axis=0)
+
+    def scan_body(adv, xs):
+        reward, value, next_value, done = xs
+        delta = reward + gamma * next_value * (1.0 - done) - value
+        adv = delta + gamma * gae_lambda * (1.0 - done) * adv
+        return adv, adv
+
+    _, advs = jax.lax.scan(
+        scan_body,
+        jnp.zeros_like(last_value),
+        (rewards, values, next_values, dones),
+        reverse=True,
+    )
+    return advs, advs + values
+
+
 def make_ppo_funcs(
     policy: LateFusionPolicy,
     params: Params,
@@ -126,9 +147,15 @@ def make_ppo_funcs(
                 .set(action_table[a]),
                 params,
             )
+            # world clock: increment unless some agent finished — matches
+            # the env's update order (step_dynamics advances the clock
+            # before get_rewards reads it, env_jax._step_with_indices)
+            any_done = jnp.any((state.done != 0) & scene.agents.valid, axis=1)
+            wts_mid = jnp.where(
+                any_done, carry.world_time_steps, carry.world_time_steps + 1
+            )
             reward = shaped_rewards(
-                scene, state, params, reward_type, reward_weights,
-                carry.world_time_steps,
+                scene, state, params, reward_type, reward_weights, wts_mid
             )
             done = (state.done != 0).astype(jnp.float32)
             # Auto-reset finished worlds (all valid agents done), like the
@@ -157,7 +184,7 @@ def make_ppo_funcs(
                 world_done.reshape((-1,) + (1,) * (s.ndim - 1)), f, s
             )
             state = jax.tree.map(blend, fresh, state)
-            wts = jnp.where(world_done, 0, carry.world_time_steps + 1)
+            wts = jnp.where(world_done, 0, wts_mid)
             return EnvCarry(state, wts, rng), t
 
         return body
@@ -188,26 +215,11 @@ def make_ppo_funcs(
         traj = jax.tree.map(lambda *xs: jnp.stack(xs), *ts)
         return carry, traj
 
-    def gae(traj: Transition, last_value):
-        """Reverse-scan GAE (replaces the reference's Cython compute_gae,
-        integrations/puffer/ppo.py:27-32,237-245)."""
-        next_values = jnp.concatenate(
-            [traj.value[1:], last_value[None]], axis=0
+    def gae(traj, last_value):
+        return compute_gae(
+            traj.reward, traj.value, traj.done, last_value,
+            config.gamma, config.gae_lambda,
         )
-
-        def scan_body(adv, xs):
-            reward, value, next_value, done = xs
-            delta = reward + config.gamma * next_value * (1.0 - done) - value
-            adv = delta + config.gamma * config.gae_lambda * (1.0 - done) * adv
-            return adv, adv
-
-        _, advs = jax.lax.scan(
-            scan_body,
-            jnp.zeros_like(last_value),
-            (traj.reward, traj.value, next_values, traj.done),
-            reverse=True,
-        )
-        return advs, advs + traj.value
 
     def loss_fn(variables, mb, rng):
         _, newlogp, entropy, newvalue = policy_forward(
@@ -278,7 +290,7 @@ def make_ppo_funcs(
 
         T = config.rollout_len
         M = config.num_minibatches
-        assert T % M == 0, "rollout_len must divide num_minibatches"
+        assert T % M == 0, "num_minibatches must divide rollout_len"
 
         def epoch_body(carry_in, rng_e):
             variables, opt_state = carry_in

@@ -27,7 +27,7 @@ from gpudrive_lab_tpu.networks.late_fusion import (
     LateFusionLSTMPolicy,
     sample_logits,
 )
-from gpudrive_lab_tpu.ppo.ppo import PPOConfig
+from gpudrive_lab_tpu.ppo.ppo import PPOConfig, compute_gae
 
 
 class RnnCarry(NamedTuple):
@@ -35,11 +35,15 @@ class RnnCarry(NamedTuple):
     lstm: tuple  # ((W, A, H), (W, A, H))
     world_time_steps: jnp.ndarray
     rng: jnp.ndarray
+    # worlds auto-reset at the END of the previous step; their LSTM state
+    # must be zeroed at the START of the next step (and identically during
+    # the BPTT replay)
+    just_reset: jnp.ndarray  # [W] bool
 
 
 class RnnTransition(NamedTuple):
     obs: jnp.ndarray
-    done_pre: jnp.ndarray  # done BEFORE the step (resets the carry)
+    reset_pre: jnp.ndarray  # carry-reset signal BEFORE the step
     action: jnp.ndarray
     logprob: jnp.ndarray
     value: jnp.ndarray
@@ -69,22 +73,32 @@ def make_rnn_ppo_funcs(
             obs, _, _ = flat_observation(
                 scene, carry.state, params, spec, weights
             )
-            done_pre = (carry.state.done != 0).astype(jnp.float32)
+            reset_pre = jnp.maximum(
+                (carry.state.done != 0).astype(jnp.float32),
+                carry.just_reset[:, None].astype(jnp.float32),
+            )
             lstm, logits, value = policy.apply(
-                variables, obs, carry.lstm, done_pre
+                variables, obs, carry.lstm, reset_pre
             )
             a, logp, _ = sample_logits(k, logits)
             mask = controlled & (carry.state.done == 0)
             act = jnp.zeros(a.shape + (C.ACTION_DIM,), jnp.float32)
             act = act.at[..., :3].set(action_table[a])
             state = stepmod.step(scene, carry.state, act, params)
+            # world clock: increment unless some agent finished, as the env
+            # does before reward shaping (env_jax._step_with_indices)
+            any_done = jnp.any(
+                (state.done != 0) & scene.agents.valid, axis=1
+            )
+            wts_mid = jnp.where(
+                any_done, carry.world_time_steps, carry.world_time_steps + 1
+            )
             reward = shaped_rewards(
-                scene, state, params, reward_type, weights,
-                carry.world_time_steps,
+                scene, state, params, reward_type, weights, wts_mid
             )
             done = (state.done != 0).astype(jnp.float32)
             t = RnnTransition(
-                obs=obs, done_pre=done_pre, action=a, logprob=logp,
+                obs=obs, reset_pre=reset_pre, action=a, logprob=logp,
                 value=value, reward=reward, done=done, mask=mask,
             )
             world_done = jnp.all(
@@ -94,40 +108,26 @@ def make_rnn_ppo_funcs(
                 world_done.reshape((-1,) + (1,) * (s.ndim - 1)), f, s
             )
             state = jax.tree.map(blend, fresh, state)
-            # zero the recurrent state of auto-reset worlds so the new
-            # episode starts memoryless
-            lstm = jax.tree.map(
-                lambda h: jnp.where(world_done[:, None, None], 0.0, h), lstm
-            )
-            wts = jnp.where(world_done, 0, carry.world_time_steps + 1)
-            return RnnCarry(state, lstm, wts, rng), t
+            wts = jnp.where(world_done, 0, wts_mid)
+            return RnnCarry(state, lstm, wts, rng, world_done), t
 
         return jax.lax.scan(body, carry, None, length=config.rollout_len)
 
     def gae(traj, last_value):
-        next_values = jnp.concatenate(
-            [traj.value[1:], last_value[None]], axis=0
+        return compute_gae(
+            traj.reward, traj.value, traj.done, last_value,
+            config.gamma, config.gae_lambda,
         )
-
-        def scan_body(adv, xs):
-            reward, value, next_value, done = xs
-            delta = reward + config.gamma * next_value * (1.0 - done) - value
-            adv = delta + config.gamma * config.gae_lambda * (1.0 - done) * adv
-            return adv, adv
-
-        _, advs = jax.lax.scan(
-            scan_body, jnp.zeros_like(last_value),
-            (traj.reward, traj.value, next_values, traj.done), reverse=True,
-        )
-        return advs, advs + traj.value
 
     def loss_fn(variables, mb, init_lstm):
         """BPTT replay over the whole rollout for a world minibatch.
-        mb arrays: [T, Wm, A, ...]; init_lstm: ((Wm, A, H), (Wm, A, H))."""
+        mb arrays: [T, Wm, A, ...]; init_lstm: ((Wm, A, H), (Wm, A, H)).
+        The stored reset_pre reproduces the rollout's carry zeroing exactly
+        (agent done OR world auto-reset at the previous step)."""
 
         def scan_body(lstm, xs):
-            obs, done_pre, action = xs
-            lstm, logits, value = policy.apply(variables, obs, lstm, done_pre)
+            obs, reset_pre, action = xs
+            lstm, logits, value = policy.apply(variables, obs, lstm, reset_pre)
             logp_all = jax.nn.log_softmax(logits)
             logp = jnp.take_along_axis(
                 logp_all, action[..., None].astype(jnp.int32), axis=-1
@@ -136,7 +136,7 @@ def make_rnn_ppo_funcs(
             return lstm, (logp, ent, value)
 
         _, (newlogp, entropy, newvalue) = jax.lax.scan(
-            scan_body, init_lstm, (mb["obs"], mb["done_pre"], mb["action"])
+            scan_body, init_lstm, (mb["obs"], mb["reset_pre"], mb["action"])
         )
 
         m = mb["mask"].astype(jnp.float32)
@@ -173,11 +173,14 @@ def make_rnn_ppo_funcs(
         )
         _, _, last_value = policy.apply(
             variables, last_obs, carry.lstm,
-            (carry.state.done != 0).astype(jnp.float32),
+            jnp.maximum(
+                (carry.state.done != 0).astype(jnp.float32),
+                carry.just_reset[:, None].astype(jnp.float32),
+            ),
         )
         advs, rets = gae(traj, last_value)
         batch = {
-            "obs": traj.obs, "done_pre": traj.done_pre, "action": traj.action,
+            "obs": traj.obs, "reset_pre": traj.reset_pre, "action": traj.action,
             "logprob": traj.logprob, "value": traj.value, "adv": advs,
             "ret": rets, "mask": traj.mask,
         }

@@ -68,7 +68,6 @@ def roll_out(current_states, actions, dt=0.1, action_len=5,
     yaw_rate = jnp.repeat(actions[..., 1], action_len, axis=-1)
     if rng is not None:  # training-time jitter (reference adds N(0, .1)/N(0,.01))
         k1, k2 = jax.random.split(rng)
-        a = a + jax.random.normal(k1, a.shape) * 0.0  # noise enters below
         v_noise = jax.random.normal(k1, a.shape) * 0.1
         y_noise = jax.random.normal(k2, a.shape) * 0.01
     else:
@@ -236,8 +235,9 @@ class RelationAttentionLayer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, tokens, rel_emb, mask):
-        # tokens [B, T, D]; rel_emb [B, T, T, heads]; mask [B, T] (True=pad)
+    def __call__(self, tokens, rel_emb, pad_mask):
+        # tokens [B, T, D]; rel_emb [B, T, T, heads];
+        # pad_mask [B, T] (True = PADDING, masked out of the keys)
         D, Hd = self.hidden, self.heads
         x = nn.LayerNorm(dtype=self.dtype)(tokens)
         qkv = nn.Dense(3 * D, dtype=self.dtype)(x)
@@ -248,7 +248,7 @@ class RelationAttentionLayer(nn.Module):
             preferred_element_type=jnp.float32,
         ) / np.sqrt(D // Hd)
         logits = logits + jnp.transpose(rel_emb, (0, 3, 1, 2))
-        logits = jnp.where(mask[:, None, None, :], -1e9, logits)
+        logits = jnp.where(pad_mask[:, None, None, :], -1e9, logits)
         attn = jax.nn.softmax(logits, axis=-1)
         out = jnp.einsum(
             "bhqk,bkhd->bqhd", attn, split(v),
@@ -268,13 +268,17 @@ class Encoder(nn.Module):
     config: VBDConfig
 
     @nn.compact
-    def __call__(self, agents_history, polylines, agents_mask, maps_mask):
+    def __call__(self, agents_history, polylines, agents_valid, maps_valid):
+        """``agents_valid``/``maps_valid``: True = real token.  Internally the
+        pad mask (True = padding) drives the attention layers; the returned
+        ``valid_mask`` keeps the True = real convention for consumers."""
         cfg = self.config
         D = cfg.hidden_dim
         a_tok = AgentEncoder(D, cfg.dtype)(agents_history)
         m_tok = MapEncoder(D, cfg.dtype)(polylines)
         tokens = jnp.concatenate([a_tok, m_tok], axis=1)
-        mask = jnp.concatenate([agents_mask, maps_mask], axis=1)
+        valid_mask = jnp.concatenate([agents_valid, maps_valid], axis=1)
+        pad_mask = ~valid_mask
 
         # relative positions between token anchor points
         a_pos = agents_history[:, :, -1, 0:2]
@@ -295,9 +299,9 @@ class Encoder(nn.Module):
         )
         for _ in range(cfg.encoder_layers):
             tokens = RelationAttentionLayer(D, cfg.num_heads, cfg.dtype)(
-                tokens, rel_emb, mask
+                tokens, rel_emb, pad_mask
             )
-        return tokens, mask
+        return tokens, valid_mask
 
 
 def diffusion_step_embedding(t, dim):
@@ -315,7 +319,9 @@ class Denoiser(nn.Module):
     config: VBDConfig
 
     @nn.compact
-    def __call__(self, scene_tokens, scene_mask, noisy_actions, diffusion_step):
+    def __call__(self, scene_tokens, scene_valid, noisy_actions, diffusion_step):
+        """``scene_valid``: True = real token (flax MHA convention:
+        mask True = attend)."""
         cfg = self.config
         D = cfg.hidden_dim
         B, A = noisy_actions.shape[:2]
@@ -324,18 +330,18 @@ class Denoiser(nn.Module):
         step_emb = diffusion_step_embedding(diffusion_step, D)  # [B, A, D]
         h = h + nn.Dense(D, dtype=cfg.dtype)(step_emb)
         # agent self-attention
-        agent_mask = scene_mask[:, :A]
+        agent_valid = scene_valid[:, :A]
         for _ in range(2):
             x = nn.LayerNorm(dtype=cfg.dtype)(h)
             attn = nn.MultiHeadDotProductAttention(
                 cfg.num_heads, dtype=cfg.dtype
-            )(x, x, mask=~agent_mask[:, None, None, :])
+            )(x, x, mask=agent_valid[:, None, None, :])
             h = h + attn
             # cross-attention over the full scene
             x = nn.LayerNorm(dtype=cfg.dtype)(h)
             attn = nn.MultiHeadDotProductAttention(
                 cfg.num_heads, dtype=cfg.dtype
-            )(x, scene_tokens, mask=~scene_mask[:, None, None, :])
+            )(x, scene_tokens, mask=scene_valid[:, None, None, :])
             h = h + attn
             x = nn.LayerNorm(dtype=cfg.dtype)(h)
             x = nn.Dense(4 * D, dtype=cfg.dtype)(x)
@@ -352,7 +358,7 @@ class GoalPredictor(nn.Module):
     config: VBDConfig
 
     @nn.compact
-    def __call__(self, scene_tokens, scene_mask, anchors):
+    def __call__(self, scene_tokens, scene_valid, anchors):
         cfg = self.config
         D = cfg.hidden_dim
         B, A, Q, _ = anchors.shape
@@ -363,7 +369,7 @@ class GoalPredictor(nn.Module):
         h = a_emb + agent_tok
         x = nn.LayerNorm(dtype=cfg.dtype)(h.reshape(B, A * Q, D))
         attn = nn.MultiHeadDotProductAttention(cfg.num_heads, dtype=cfg.dtype)(
-            x, scene_tokens, mask=~scene_mask[:, None, None, :]
+            x, scene_tokens, mask=scene_valid[:, None, None, :]
         )
         h = (h.reshape(B, A * Q, D) + attn).reshape(B, A, Q, D)
         actions = nn.Dense(cfg.action_blocks * 2, dtype=cfg.dtype)(h)
@@ -385,10 +391,11 @@ class VBDModel(nn.Module):
         self.predictor = GoalPredictor(self.config)
 
     def encode(self, batch):
-        agents_mask = batch["agents_id"] >= 0
-        maps_mask = jnp.any(batch["polylines"][..., 4] > 0, axis=-1)
+        agents_valid = batch["agents_id"] >= 0
+        maps_valid = jnp.any(batch["polylines"][..., 4] > 0, axis=-1)
         return self.encoder(
-            batch["agents_history"], batch["polylines"], agents_mask, maps_mask
+            batch["agents_history"], batch["polylines"], agents_valid,
+            maps_valid,
         )
 
     def __call__(self, batch, noised_actions_normalized, diffusion_step):

@@ -67,6 +67,7 @@ def test_rnn_train_step(example_scene_paths):
         state=jax.tree.map(jnp.copy, fresh), lstm=lstm,
         world_time_steps=jnp.zeros(env.num_worlds, jnp.int32),
         rng=jax.random.PRNGKey(1),
+        just_reset=jnp.zeros(env.num_worlds, bool),
     )
     train_fn = jax.jit(train_step)
     before = np.asarray(jax.tree.leaves(variables)[0]).copy()

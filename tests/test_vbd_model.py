@@ -111,6 +111,29 @@ def test_sampling_and_rollout(model_and_vars):
     assert np.isfinite(np.asarray(out["denoised_trajs"])).all()
 
 
+def test_padding_does_not_affect_valid_agents(model_and_vars):
+    """Mask-polarity regression: randomizing the HISTORY of padded agents
+    (agents_id == -1) must leave valid agents' denoiser outputs unchanged."""
+    model, variables, batch = model_and_vars
+    x = jnp.zeros((2, 8, CFG.action_blocks, 2))
+    t = jnp.zeros((2, 8), jnp.int32)
+    d1, _, _ = model.apply(variables, batch, x, t)
+
+    pad = np.asarray(batch["agents_id"]) < 0  # agents 5..7
+    hist = np.asarray(batch["agents_history"]).copy()
+    hist[pad] = np.random.default_rng(9).normal(size=hist[pad].shape) * 50
+    batch2 = dict(batch)
+    batch2["agents_history"] = jnp.asarray(hist)
+    d2, _, _ = model.apply(variables, batch2, x, t)
+
+    valid = ~pad
+    np.testing.assert_allclose(
+        np.asarray(d1)[valid], np.asarray(d2)[valid], atol=1e-5
+    )
+    # sanity: outputs are not trivially constant
+    assert float(np.abs(np.asarray(d1)[valid]).max()) > 0
+
+
 def test_roll_out_inverse_consistency():
     rng = np.random.default_rng(0)
     cs = jnp.asarray(rng.normal(size=(2, 4, 5)).astype(np.float32))
