@@ -42,6 +42,11 @@ def main():
     p.add_argument("--platform", default=None, help="cpu to force local CPU")
     p.add_argument("--repeats", type=int, default=3,
                    help="timing repetitions; best is reported")
+    p.add_argument("--grid", action="store_true",
+                   help="use the spatial-hash collision path")
+    p.add_argument("--max-roads", type=int, default=None,
+                   help="force the road bucket (e.g. 10240 to stress the "
+                        "full kMaxRoadEntityCount regime)")
     args = p.parse_args()
 
     import jax
@@ -73,6 +78,7 @@ def main():
         road_obs_algorithm="k_nearest_roadpoints",
         collision_top_k=None,
         approx_top_k=not args.exact,
+        use_collision_grid=args.grid,
     )
     params = cfg.sim_params()
 
@@ -87,7 +93,7 @@ def main():
     paths = [base[i % len(base)] for i in range(worlds)]
 
     t0 = time.time()
-    scene = build_scene(paths, params)
+    scene = build_scene(paths, params, max_roads=args.max_roads)
     compile_scene_s = time.time() - t0
     num_agents = int(np.asarray(scene.num_agents).sum())
 

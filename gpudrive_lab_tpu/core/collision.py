@@ -99,7 +99,32 @@ def collision_system(
     allowed = _road_allowed(agents.etype[:, :, None], roads.etype[:, None, :])
     pair_ok_ar = active[:, :, None] & roads.valid[:, None, :] & allowed
 
-    if params.collision_top_k is not None and params.collision_top_k < roads.valid.shape[1]:
+    if params.use_collision_grid and scene.grid is not None:
+        # Scene-static spatial hash: each agent tests only the road entities
+        # registered in its grid cell (candidate count independent of R; the
+        # grid builder guarantees no cell overflow — scene/grid.py).
+        g = scene.grid
+        cell = jnp.floor(
+            (state.pos - g.origin[:, None, :]) / g.cell_size[:, None, None]
+        ).astype(jnp.int32)
+        cx = jnp.clip(cell[..., 0], 0, g.dims[:, None, 0] - 1)
+        cy = jnp.clip(cell[..., 1], 0, g.dims[:, None, 1] - 1)
+        cand = jax.vmap(lambda tw, yw, xw: tw[yw, xw])(
+            g.table, cy, cx
+        )  # [W, A, K]
+        safe = jnp.maximum(cand, 0)
+        gather = jax.vmap(lambda xw, cw: xw[cw])
+        r_ok = (
+            (cand >= 0)
+            & jnp.take_along_axis(pair_ok_ar, safe, axis=2)
+        )
+        hit_ar = obb.obb_overlap_sat(
+            state.pos[:, :, None, :], state.yaw[:, :, None], half[:, :, None],
+            gather(roads.pos[..., 0:2], safe),
+            gather(roads.yaw, safe),
+            gather(road_half, safe),
+        ) & r_ok
+    elif params.collision_top_k is not None and params.collision_top_k < roads.valid.shape[1]:
         K = params.collision_top_k
         # Conservative candidate ranking: center distance minus segment half
         # length lower-bounds box distance; any truly overlapping segment

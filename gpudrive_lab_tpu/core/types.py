@@ -91,6 +91,11 @@ class Params:
     # segments per agent (ranked conservatively; see core/collision.py).
     # None = exact all-pairs, matching the reference broadphase semantics.
     collision_top_k: int | None = None
+    # TPU-specific: use the scene-static spatial hash (Scene.grid) for the
+    # agent-road narrow phase — exact, and O(cell density) per agent instead
+    # of O(R).  Wins on large road buckets; requires the scene compiler to
+    # have built the grid.
+    use_collision_grid: bool = False
 
 
 @struct.dataclass
@@ -129,6 +134,20 @@ class AgentsStatic:
 
 
 @struct.dataclass
+class CollisionGrid:
+    """Scene-static spatial hash over road entities: per world, each coarse
+    cell lists the road indices whose boxes (expanded by the max agent
+    radius) touch it.  Replaces the reference's broadphase BVH for the
+    agent-road narrow phase on large road buckets — the candidate count per
+    agent becomes O(cell density) instead of O(R)."""
+
+    origin: jnp.ndarray  # [W, 2] grid lower corner
+    cell_size: jnp.ndarray  # [W] float32
+    dims: jnp.ndarray  # [W, 2] int32 (gx, gy) actually used per world
+    table: jnp.ndarray  # [W, GY, GX, K] int32 road indices, -1 padding
+
+
+@struct.dataclass
 class Scene:
     """One batch of compiled worlds; the analogue of the reference's per-world
     ``Map`` singleton + the entities created from it (src/level_gen.cpp)."""
@@ -140,6 +159,7 @@ class Scene:
     means: jnp.ndarray  # [W, 3] per-world mean subtracted from coords
     map_name: jnp.ndarray  # [W, 32] int32 char codes
     scenario_id: jnp.ndarray  # [W, 32] int32 char codes
+    grid: CollisionGrid | None = None
 
     @property
     def num_worlds(self) -> int:

@@ -112,9 +112,11 @@ class EnvConfig:
     vbd_in_obs: bool = False
 
     # TPU-specific performance knobs.  collision_top_k=None -> dense
-    # all-pairs SAT (fastest for bucketed R up to a few thousand).
+    # all-pairs SAT (fastest for bucketed R up to a few thousand);
+    # use_collision_grid -> scene-static spatial hash (wins at large R).
     collision_top_k: Optional[int] = None
     approx_top_k: bool = False
+    use_collision_grid: bool = False
     seed: int = 0
 
     def sim_params(self) -> Params:
@@ -160,6 +162,7 @@ class EnvConfig:
             polyline_reduction_threshold=self.polyline_reduction_threshold,
             approx_top_k=self.approx_top_k,
             collision_top_k=self.collision_top_k,
+            use_collision_grid=self.use_collision_grid,
         )
 
 

@@ -439,6 +439,11 @@ def build_scene(
             )
         ),
     )
+    grid = None
+    if params.use_collision_grid:
+        from gpudrive_lab_tpu.scene.grid import build_collision_grid
+
+        grid = build_collision_grid(worlds)
     return Scene(
         agents=agents,
         roads=roads,
@@ -447,4 +452,5 @@ def build_scene(
         means=jnp.asarray(np.stack([w.mean for w in worlds])),
         map_name=jnp.asarray(np.stack([w.map_name for w in worlds])),
         scenario_id=jnp.asarray(np.stack([w.scenario_id for w in worlds])),
+        grid=grid,
     )

@@ -1,0 +1,99 @@
+"""Collision-grid construction.
+
+Host-side builder of the scene-static spatial hash (core/types.CollisionGrid)
+— the TPU-native stand-in for the reference's broadphase BVH
+(SURVEY.md §7 "spatial hash" risk item).  Built once per scene by the
+compiler; the step function gathers each agent's cell row and runs the
+narrow phase against only those candidates.
+
+MEASURED VERDICT (v5e, W=256, R=10240 bucket): the gather-based grid path
+runs ~17x SLOWER than the dense all-pairs SAT (831 vs 13.9k world-steps/s)
+— TPU gathers lose badly to dense regular VPU math at these sizes, the same
+result as top-k candidate pruning.  The grid stays available
+(Params.use_collision_grid) and exact (tests/test_collision_grid.py), but
+dense is the default and the recommended configuration on TPU.
+
+Correctness invariant: every road entity whose oriented box can overlap an
+agent box whose center lies in a cell MUST be listed in that cell.  We
+guarantee it by registering each road entity with every cell its axis-aligned
+bounding box, expanded by the maximum agent half-diagonal plus slack,
+touches.  Cells never overflow: the per-cell capacity is sized to the batch
+maximum.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from gpudrive_lab_tpu.core.types import CollisionGrid
+
+# max agent half-diagonal: length<=30m, width<=15m -> 0.7*sqrt(15^2+7.5^2)/..
+# practical vehicles are ~5m; 6m covers trucks with margin.
+AGENT_RADIUS_MARGIN = 6.0
+
+
+def _road_aabbs(road: dict, n: int):
+    """Axis-aligned bounds of each road entity's oriented box."""
+    pos = road["pos"][:n, :2]
+    yaw = road["yaw"][:n]
+    half = road["scale"][:n, :2]
+    c, s = np.abs(np.cos(yaw)), np.abs(np.sin(yaw))
+    ex = half[:, 0] * c + half[:, 1] * s
+    ey = half[:, 0] * s + half[:, 1] * c
+    lo = pos - np.stack([ex, ey], -1)
+    hi = pos + np.stack([ex, ey], -1)
+    return lo, hi
+
+
+def build_world_grid(road: dict, num_roads: int, cell_size: float = 50.0):
+    """Returns (origin [2], dims (gx, gy), cells: list[list[int]])."""
+    if num_roads == 0:
+        return np.zeros(2, np.float32), (1, 1), [[]]
+    lo, hi = _road_aabbs(road, num_roads)
+    lo = lo - AGENT_RADIUS_MARGIN
+    hi = hi + AGENT_RADIUS_MARGIN
+    origin = lo.min(axis=0)
+    extent = hi.max(axis=0) - origin
+    gx = max(1, int(np.ceil(extent[0] / cell_size)))
+    gy = max(1, int(np.ceil(extent[1] / cell_size)))
+    cells = [[] for _ in range(gx * gy)]
+    ilo = np.clip(((lo - origin) / cell_size).astype(int), 0, [gx - 1, gy - 1])
+    ihi = np.clip(((hi - origin) / cell_size).astype(int), 0, [gx - 1, gy - 1])
+    for r in range(num_roads):
+        for cx in range(ilo[r, 0], ihi[r, 0] + 1):
+            for cy in range(ilo[r, 1], ihi[r, 1] + 1):
+                cells[cy * gx + cx].append(r)
+    return origin.astype(np.float32), (gx, gy), cells
+
+
+def build_collision_grid(worlds, cell_size: float = 50.0) -> CollisionGrid:
+    """Stack per-world grids (padded to common dims/capacity) from
+    CompiledWorld objects."""
+    per = [
+        build_world_grid(w.road, w.num_roads, cell_size) for w in worlds
+    ]
+    gx = max(p[1][0] for p in per)
+    gy = max(p[1][1] for p in per)
+    k = max(
+        (max((len(c) for c in p[2]), default=0) for p in per), default=1
+    )
+    k = max(k, 1)
+    W = len(per)
+    table = np.full((W, gy, gx, k), -1, np.int32)
+    origin = np.zeros((W, 2), np.float32)
+    dims = np.zeros((W, 2), np.int32)
+    for w, (o, (pgx, pgy), cells) in enumerate(per):
+        origin[w] = o
+        dims[w] = (pgx, pgy)
+        for cy in range(pgy):
+            for cx in range(pgx):
+                src = cells[cy * pgx + cx]
+                table[w, cy, cx, : len(src)] = src
+    return CollisionGrid(
+        origin=jnp.asarray(origin),
+        cell_size=jnp.full((W,), cell_size, jnp.float32),
+        dims=jnp.asarray(dims),
+        table=jnp.asarray(table),
+    )
