@@ -29,24 +29,29 @@ import pytest  # noqa: E402
 
 REFERENCE_SCENE = "/root/reference/tests/pytest_data/test.json"
 EXAMPLE_SCENES_DIR = "/root/reference/data/processed/examples"
+SYNTHETIC_SCENE = os.path.join(
+    os.path.dirname(__file__), "data", "tfrecord_synthetic_0.json"
+)
 
 
 @pytest.fixture(scope="session")
 def reference_scene_path():
-    if not os.path.exists(REFERENCE_SCENE):
-        pytest.skip("reference test scene not available")
-    return REFERENCE_SCENE
+    """The reference's pytest scene when mounted; otherwise the
+    self-contained synthetic fixture (same schema, tests/data)."""
+    if os.path.exists(REFERENCE_SCENE):
+        return REFERENCE_SCENE
+    return SYNTHETIC_SCENE
 
 
 @pytest.fixture(scope="session")
 def example_scene_paths():
-    if not os.path.isdir(EXAMPLE_SCENES_DIR):
-        pytest.skip("reference example scenes not available")
-    return sorted(
-        os.path.join(EXAMPLE_SCENES_DIR, f)
-        for f in os.listdir(EXAMPLE_SCENES_DIR)
-        if f.endswith(".json")
-    )
+    if os.path.isdir(EXAMPLE_SCENES_DIR):
+        return sorted(
+            os.path.join(EXAMPLE_SCENES_DIR, f)
+            for f in os.listdir(EXAMPLE_SCENES_DIR)
+            if f.endswith(".json")
+        )
+    return [SYNTHETIC_SCENE] * 4
 
 
 def to_np(tree):

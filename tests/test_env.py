@@ -3,6 +3,8 @@ frame stacking, scene swapping (reference smoke test: tests/test_gpudrive.py
 plus env_torch behaviors)."""
 
 import jax.numpy as jnp
+import os
+
 import numpy as np
 import pytest
 
@@ -15,7 +17,7 @@ from gpudrive_lab_tpu.env.env_jax import GPUDriveTPUEnv
 @pytest.fixture(scope="module")
 def env(example_scene_paths):
     loader = SceneDataLoader(
-        root="/root/reference/data/processed/examples",
+        root=os.path.dirname(example_scene_paths[0]),
         batch_size=2,
         dataset_size=4,
     )

@@ -3,6 +3,8 @@ GAE matches a reference numpy implementation."""
 
 import jax
 import jax.numpy as jnp
+import os
+
 import numpy as np
 import pytest
 
@@ -24,7 +26,7 @@ def trainer(example_scene_paths):
         collision_behavior="ignore",
     )
     loader = SceneDataLoader(
-        root="/root/reference/data/processed/examples",
+        root=os.path.dirname(example_scene_paths[0]),
         batch_size=2, dataset_size=4,
     )
     env = GPUDriveTPUEnv(cfg, data_loader=loader)

@@ -1,5 +1,6 @@
 """Prefetching scene-loader tests."""
 
+import os
 import time
 
 from gpudrive_lab_tpu.core.types import Params
@@ -10,7 +11,7 @@ from gpudrive_lab_tpu.scene.prefetch import PrefetchingSceneLoader
 
 def test_prefetch_warms_cache(example_scene_paths):
     loader = SceneDataLoader(
-        root="/root/reference/data/processed/examples",
+        root=os.path.dirname(example_scene_paths[0]),
         batch_size=2, dataset_size=4, sample_with_replacement=True,
     )
     params = Params(polyline_reduction_threshold=0.33)

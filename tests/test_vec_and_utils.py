@@ -1,6 +1,8 @@
 """Tests: vectorized flat-agent wrapper, profiling, checkpointing, and
 multi-device sharding of the sim step."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -20,7 +22,7 @@ from gpudrive_lab_tpu.utils.profiling import Profile, Utilization
 @pytest.fixture(scope="module")
 def vec_env(example_scene_paths):
     loader = SceneDataLoader(
-        root="/root/reference/data/processed/examples",
+        root=os.path.dirname(example_scene_paths[0]),
         batch_size=2, dataset_size=4,
     )
     cfg = EnvConfig(

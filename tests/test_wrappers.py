@@ -1,6 +1,8 @@
 """Tests for the SB3-style VecEnv adapter and the MARL dict-per-agent
 wrapper, plus reward-conditioning presets."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -15,7 +17,7 @@ from gpudrive_lab_tpu.env.wrappers.sb3_wrapper import SB3MultiAgentEnv
 
 def test_sb3_wrapper(example_scene_paths):
     loader = SceneDataLoader(
-        root="/root/reference/data/processed/examples",
+        root=os.path.dirname(example_scene_paths[0]),
         batch_size=2, dataset_size=4,
     )
     env = SB3MultiAgentEnv(
