@@ -75,21 +75,26 @@ def main():
             scene, None, params
         )
         jax.block_until_ready(fresh.pos)
-        acts = jnp.zeros((W, 128, 10))
 
+        # Benchmark doctrine (CLAUDE.md / docs/PERFORMANCE.md): actions are
+        # an ARGUMENT (no closure constants), every repetition perturbs the
+        # input from a distinct seed (no dispatch memoization), and the
+        # carried acc scalar defeats dead-dispatch elision.
         @jax.jit
-        def body(scene, s, acc):
+        def body(scene, s, acts, acc):
             s2 = stepmod.step(scene, s, acts, params)
             return s2, acc + s2.reward[0, 0]
 
-        s, acc = body(scene, fresh, jnp.float32(0))
+        acts0 = jnp.zeros((W, 128, 10))
+        s, acc = body(scene, fresh, acts0, jnp.float32(0))
         jax.block_until_ready(acc)
         best = None
-        for _ in range(3):
+        for rep in range(3):
+            acts = acts0.at[0, 0, 0].set(1e-6 * (rep + 1))
             s, acc = fresh, jnp.float32(0)
             t0 = time.time()
             for _ in range(args.steps):
-                s, acc = body(scene, s, acc)
+                s, acc = body(scene, s, acts, acc)
             jax.block_until_ready(acc)
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)

@@ -52,11 +52,16 @@ def process_tfrecord(args_tuple):
 
     scenario_pb2 = _require_deps()
     dataset = tf.data.TFRecordDataset(tfrecord_path, compression_type="")
-    # Keep the 'tfrecord-XXXXX-of-YYYYY' suffix as the basename so the
-    # produced JSONs match SceneDataLoader/select_scenes' startswith
-    # filter (reference names files the same way:
-    # process_waymo_files.py scenario_path construction).
-    base = os.path.basename(tfrecord_path).split(".")[-1]
+    # Output basenames must start with 'tfrecord' (the dataloader filter,
+    # as in the reference) AND stay unique per input shard.  Standard WOMD
+    # shards ('training.tfrecord-00000-of-01000') keep their shard suffix;
+    # anything else gets a sanitized unique name with the prefix prepended.
+    raw = os.path.basename(tfrecord_path)
+    suffix = raw.split(".")[-1]
+    if suffix.startswith("tfrecord") and suffix != "tfrecord":
+        base = suffix
+    else:
+        base = "tfrecord-" + raw.replace(".tfrecord", "").replace(".", "_")
     n_written = n_filtered = 0
     for i, proto in enumerate(as_proto_iterator(dataset, scenario_pb2)):
         name = f"{base}_{i}.json"

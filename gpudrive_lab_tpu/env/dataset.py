@@ -50,7 +50,10 @@ class SceneDataLoader:
                 )
             self.dataset = [self.dataset[i] for i in self.scene_nums]
             self.dataset_size = len(self.dataset)
-        if self.dataset_size < self.batch_size:
+        # repeat based on the files actually present (requesting
+        # dataset_size=1000 from a 1-file directory must still fill a batch)
+        self.dataset_size = len(self.dataset)
+        if len(self.dataset) < self.batch_size:
             repeat = (self.batch_size // max(len(self.dataset), 1)) + 1
             self.dataset = (self.dataset * repeat)[: self.batch_size]
         if self.shuffle:

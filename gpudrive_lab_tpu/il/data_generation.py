@@ -46,12 +46,18 @@ def generate_state_action_pairs(
     obs = env.reset()
 
     T = C.EPISODE_LEN
+    W, A, K = env.num_worlds, C.MAX_AGENTS, C.MAX_AGENT_MAP_OBS
+    # disabled modalities yield None masks (lidar-only mode); store zeros
+    pm_default = np.zeros((W, A, A - 1), np.int32)
+    rm_default = np.zeros((W, A, K), bool)
     obs_l, act_l, dead_l, pmask_l, rmask_l = [], [], [], [], []
     for t in range(T):
         obs_l.append(np.asarray(obs))
         dead_l.append(np.asarray(env.get_dones()) > 0)
-        pmask_l.append(np.asarray(env.get_partner_mask()))
-        rmask_l.append(np.asarray(env.get_road_mask()))
+        pm = env.get_partner_mask()
+        rm = env.get_road_mask()
+        pmask_l.append(pm_default if pm is None else np.asarray(pm))
+        rmask_l.append(rm_default if rm is None else np.asarray(rm))
         act_t = _slice_t(expert_actions, t)
         act_l.append(np.asarray(act_t)[..., :3])
         env.step_dynamics(act_t)

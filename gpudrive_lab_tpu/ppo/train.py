@@ -120,6 +120,8 @@ def main():
         with open(ckpt_dir / "policy.pkl", "rb") as f:
             ckpt = pickle.load(f)
         variables = jax.tree.map(jnp.asarray, ckpt["variables"])
+        if "opt_state" in ckpt:  # restore Adam moments too
+            opt_state = jax.tree.map(jnp.asarray, ckpt["opt_state"])
         start_step = int(ckpt.get("global_step", 0))
         print(json.dumps({"resumed_from": start_step}), flush=True)
 
@@ -182,6 +184,7 @@ def main():
                     pickle.dump(
                         {
                             "variables": jax.tree.map(np.asarray, variables),
+                            "opt_state": jax.tree.map(np.asarray, opt_state),
                             "iteration": iteration,
                             "global_step": global_step,
                         },

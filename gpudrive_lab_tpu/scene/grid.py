@@ -29,9 +29,9 @@ import jax.numpy as jnp
 
 from gpudrive_lab_tpu.core.types import CollisionGrid
 
-# max agent half-diagonal: length<=30m, width<=15m -> 0.7*sqrt(15^2+7.5^2)/..
-# practical vehicles are ~5m; 6m covers trucks with margin.
-AGENT_RADIUS_MARGIN = 6.0
+# Maximum agent half-diagonal: the obs bounds cap vehicles at 30m x 15m and
+# collision boxes are scaled by 0.7, so 0.5*0.7*sqrt(30^2+15^2) = 11.74m.
+AGENT_RADIUS_MARGIN = 12.0
 
 
 def _road_aabbs(road: dict, n: int):

@@ -11,16 +11,25 @@ from typing import Any, Iterable
 
 
 class ConfigBox(dict):
-    """dict with attribute access (a minimal Box)."""
+    """dict with attribute access (a minimal Box).  Nested dicts are
+    converted to ConfigBox IN PLACE at construction so attribute-style
+    writes to nested keys (cfg.train.lr = ...) mutate the real tree."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        for k, v in self.items():
+            if isinstance(v, dict) and not isinstance(v, ConfigBox):
+                self[k] = ConfigBox(v)
 
     def __getattr__(self, k):
         try:
-            v = self[k]
+            return self[k]
         except KeyError as e:
             raise AttributeError(k) from e
-        return ConfigBox(v) if isinstance(v, dict) else v
 
     def __setattr__(self, k, v):
+        if isinstance(v, dict) and not isinstance(v, ConfigBox):
+            v = ConfigBox(v)
         self[k] = v
 
 

@@ -20,7 +20,6 @@ from gpudrive_lab_tpu.env.env_jax import GPUDriveTPUEnv, _slice_t
 def rollout(
     env: GPUDriveTPUEnv,
     select_actions: Optional[Callable] = None,
-    deterministic: bool = False,
     max_steps: Optional[int] = None,
 ) -> dict:
     """One episode on the current scene batch.

@@ -30,7 +30,11 @@ def make_scene():
                 "heading": [0.0] * T,
                 "velocity": [{"x": SPEED, "y": 0.0} for _ in range(T)],
                 "valid": [True] * T,
-                "goalPosition": {"x": xs[-1], "y": y, "z": 0.0},
+                # Goal 0.7m BEYOND the final logged position: with 0.5m/step
+                # motion the goal radius (1m in the contract tests) is first
+                # entered at the final step, so all-expert replay reaches
+                # every goal exactly at the 91-step horizon.
+                "goalPosition": {"x": xs[-1] + 0.7, "y": y, "z": 0.0},
                 "type": "vehicle",
                 "id": 100 + i,
                 "mark_as_expert": False,

@@ -71,5 +71,7 @@ def test_grid_matches_dense_collision(example_scene_paths, scene_idx):
         np.testing.assert_allclose(
             np.asarray(sd.pos), np.asarray(sg.pos), atol=1e-6
         )
-    # sanity: some collisions actually happened under random driving
-    assert np.asarray(sd.collided).sum() > 0
+    # sanity: on the real WOMD scenes random driving must hit something
+    # (the sparse synthetic fallback fixture legitimately may not)
+    if "synthetic" not in example_scene_paths[scene_idx]:
+        assert np.asarray(sd.collided).sum() > 0
