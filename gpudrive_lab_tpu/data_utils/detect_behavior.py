@@ -11,7 +11,10 @@ from __future__ import annotations
 
 import argparse
 import json
-from multiprocessing import Pool, cpu_count
+from multiprocessing import cpu_count, get_context
+
+# fork() after JAX initializes its thread pools can deadlock; spawn is safe
+Pool = get_context("spawn").Pool
 from pathlib import Path
 
 import numpy as np
