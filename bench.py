@@ -82,6 +82,12 @@ def main():
     )
     params = cfg.sim_params()
 
+    if not os.path.isdir(args.scenes_dir):
+        # fall back to the bundled synthetic fixture when the WOMD examples
+        # are not mounted
+        args.scenes_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tests", "data"
+        )
     base = sorted(
         os.path.join(args.scenes_dir, f)
         for f in os.listdir(args.scenes_dir)
