@@ -44,6 +44,9 @@ def main():
                    help="timing repetitions; best is reported")
     p.add_argument("--grid", action="store_true",
                    help="use the spatial-hash collision path")
+    p.add_argument("--collision-top-k", type=int, default=None,
+                   help="prune agent-road SAT to K distance-ranked candidates"
+                        " (wins for large --max-roads buckets)")
     p.add_argument("--max-roads", type=int, default=None,
                    help="force the road bucket (e.g. 10240 to stress the "
                         "full kMaxRoadEntityCount regime)")
@@ -76,7 +79,7 @@ def main():
         dynamics_model="classic",
         collision_behavior="ignore",
         road_obs_algorithm="k_nearest_roadpoints",
-        collision_top_k=None,
+        collision_top_k=args.collision_top_k,
         approx_top_k=not args.exact,
         use_collision_grid=args.grid,
     )

@@ -75,3 +75,40 @@ def test_grid_matches_dense_collision(example_scene_paths, scene_idx):
     # (the sparse synthetic fallback fixture legitimately may not)
     if "synthetic" not in example_scene_paths[scene_idx]:
         assert np.asarray(sd.collided).sum() > 0
+
+
+@pytest.mark.parametrize("approx", [False, True])
+def test_topk_pruned_matches_dense_collision(example_scene_paths, approx):
+    """collision_top_k (distance-ranked candidate pruning, exact or
+    approx_max_k ranking) agrees with the dense [W, A, R] narrow phase."""
+    base = Params(
+        polyline_reduction_threshold=0.1,
+        ignore_non_vehicles=True,
+        collision_behaviour=CollisionBehaviour.IGNORE,
+    )
+    pruned_p = dataclasses.replace(
+        base, collision_top_k=32, approx_top_k=approx
+    )
+    paths = [example_scene_paths[0]]
+    scene = build_scene(paths, base)
+
+    reset = jax.jit(stepmod.reset, static_argnames="params")
+    step = jax.jit(stepmod.step, static_argnames="params")
+
+    sd = reset(scene, None, base)
+    sp = reset(scene, None, pruned_p)
+    rng = np.random.default_rng(1)
+    for t in range(25):
+        acts = np.zeros((1, C.MAX_AGENTS, C.ACTION_DIM), np.float32)
+        acts[..., 0] = rng.uniform(-4, 4, (1, C.MAX_AGENTS))
+        acts[..., 1] = rng.uniform(-0.5, 0.5, (1, C.MAX_AGENTS))
+        a = jnp.asarray(acts)
+        sd = step(scene, sd, a, base)
+        sp = step(scene, sp, a, pruned_p)
+        np.testing.assert_array_equal(
+            np.asarray(sd.collided), np.asarray(sp.collided),
+            err_msg=f"step {t}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(sd.collided_road), np.asarray(sp.collided_road)
+        )
