@@ -397,7 +397,14 @@ def build_scene(
         )
         for i, p in enumerate(paths)
     ]
-    R = max_roads or _bucket(max(w.num_roads for w in worlds))
+    # Lane-align even explicit capacities: a road axis that is not a
+    # multiple of the 128-lane register tile makes XLA pad/mask every
+    # [W, A, R] op — measured as a compile-time blowup (>10 min vs 3 s at
+    # R=10000 vs 10240) and slower steps.  Rounding up only adds padded
+    # (invalid-masked) entries, so results are unchanged.
+    R = _bucket(max_roads, 256) if max_roads else _bucket(
+        max(w.num_roads for w in worlds)
+    )
     if max(w.num_roads for w in worlds) > R:
         raise ValueError(
             f"max_roads={R} below batch requirement "
