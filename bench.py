@@ -50,6 +50,9 @@ def main():
     p.add_argument("--max-roads", type=int, default=None,
                    help="force the road bucket (e.g. 10240 to stress the "
                         "full kMaxRoadEntityCount regime)")
+    p.add_argument("--tiles", choices=["auto", "on", "off"], default="auto",
+                   help="tile-skip Pallas agent-road narrow phase "
+                        "(auto = on for large road buckets)")
     args = p.parse_args()
 
     import jax
@@ -82,6 +85,7 @@ def main():
         collision_top_k=args.collision_top_k,
         approx_top_k=not args.exact,
         use_collision_grid=args.grid,
+        use_tile_collision={"auto": None, "on": True, "off": False}[args.tiles],
     )
     params = cfg.sim_params()
 

@@ -60,6 +60,83 @@ def _road_allowed(agent_etype: jnp.ndarray, road_etype: jnp.ndarray) -> jnp.ndar
     return jnp.where(is_vehicle, veh_ok, other_ok)
 
 
+def _morton_spread16(n: jnp.ndarray) -> jnp.ndarray:
+    """Spread the low 16 bits of int32 ``n`` into even bit positions."""
+    n = n & 0xFFFF
+    n = (n | (n << 8)) & 0x00FF00FF
+    n = (n | (n << 4)) & 0x0F0F0F0F
+    n = (n | (n << 2)) & 0x33333333
+    n = (n | (n << 1)) & 0x55555555
+    return n
+
+
+def _tiled_road_hits(
+    scene: Scene, state: SimState, active: jnp.ndarray, half: jnp.ndarray
+) -> jnp.ndarray:
+    """Agent-road any-hit via the tile-skip Pallas kernel
+    (core/pallas_kernels.agent_road_hits_tiled; tiles from scene/rtiles.py).
+
+    Agents are Morton-sorted each step so that blocks of AGENT_BLOCK
+    consecutive agents are spatially compact (and dead/padded agents, keyed
+    to +inf, collapse into blocks that skip every tile).  The per-
+    [agent-block, road-tile] reachability mask is a conservative AABB
+    distance bound — exact vs the dense SAT, verified in
+    tests/test_tile_collision.py.  Returns bool [W, A] in original order."""
+    from gpudrive_lab_tpu.core.pallas_kernels import (
+        AGENT_BLOCK,
+        agent_road_hits_tiled,
+    )
+
+    rt = scene.rtiles
+    W, A = active.shape
+    is_veh = scene.agents.etype == C.ET_VEHICLE
+
+    feat = jnp.concatenate(
+        [
+            state.pos,
+            jnp.cos(state.yaw)[..., None],
+            jnp.sin(state.yaw)[..., None],
+            half,
+            active.astype(jnp.float32)[..., None],
+            is_veh.astype(jnp.float32)[..., None],
+        ],
+        axis=-1,
+    )  # [W, A, 8]
+
+    q = jnp.clip(
+        (state.pos - rt.world_min[:, None]) * rt.world_inv_ext[:, None]
+        * 1024.0,
+        0.0,
+        1023.0,
+    ).astype(jnp.int32)
+    key = _morton_spread16(q[..., 0]) | (_morton_spread16(q[..., 1]) << 1)
+    key = jnp.where(active, key, jnp.int32(1) << 30)
+    perm = jnp.argsort(key, axis=1)  # [W, A]
+    inv_perm = jnp.argsort(perm, axis=1)
+    feat_s = jnp.take_along_axis(feat, perm[..., None], axis=1)
+
+    # conservative block-tile reachability: distance from agent center to
+    # tile AABB vs tile reach + agent half-diagonal
+    pos_s = feat_s[..., 0:2]
+    reach_a = jnp.hypot(feat_s[..., 4], feat_s[..., 5])
+    active_s = feat_s[..., 6] > 0.5
+    b = rt.bounds  # [W, T, 6]
+    x = pos_s[..., 0:1]  # [W, A, 1]
+    y = pos_s[..., 1:2]
+    dx = jnp.maximum(jnp.maximum(b[:, None, :, 0] - x, x - b[:, None, :, 2]), 0.0)
+    dy = jnp.maximum(jnp.maximum(b[:, None, :, 1] - y, y - b[:, None, :, 3]), 0.0)
+    limit = b[:, None, :, 4] + reach_a[..., None]
+    near = (dx * dx + dy * dy <= limit * limit) & (b[:, None, :, 5] > 0.5)
+    near = near & active_s[..., None]
+    T = b.shape[1]
+    mask = jnp.any(
+        near.reshape(W, A // AGENT_BLOCK, AGENT_BLOCK, T), axis=2
+    ).astype(jnp.int32)
+
+    hits_s = agent_road_hits_tiled(feat_s, rt.feat, mask)
+    return jnp.take_along_axis(hits_s, inv_perm, axis=1) > 0.5
+
+
 def collision_system(
     scene: Scene, state: SimState, params: Params, cur_step: jnp.ndarray
 ) -> SimState:
@@ -99,7 +176,15 @@ def collision_system(
     allowed = _road_allowed(agents.etype[:, :, None], roads.etype[:, None, :])
     pair_ok_ar = active[:, :, None] & roads.valid[:, None, :] & allowed
 
-    if params.use_collision_grid and scene.grid is not None:
+    use_tiles = (
+        scene.rtiles is not None
+        and params.use_tile_collision is not False
+        and not (params.use_collision_grid and scene.grid is not None)
+        and params.collision_top_k is None
+    )
+    if use_tiles:
+        hit_ar = _tiled_road_hits(scene, state, active, half)[..., None]
+    elif params.use_collision_grid and scene.grid is not None:
         # Scene-static spatial hash: each agent tests only the road entities
         # registered in its grid cell (candidate count independent of R; the
         # grid builder guarantees no cell overflow — scene/grid.py).

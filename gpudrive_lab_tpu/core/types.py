@@ -96,6 +96,12 @@ class Params:
     # of O(R).  Wins on large road buckets; requires the scene compiler to
     # have built the grid.
     use_collision_grid: bool = False
+    # TPU-specific: tile-skip agent-road narrow phase (Pallas kernel over
+    # Morton-sorted road tiles, core/pallas_kernels.py).  Exact.  None =
+    # auto: used whenever the scene compiler built Scene.rtiles (it does for
+    # road buckets >= scene/rtiles.py TILE_COLLISION_MIN_R); True forces the
+    # compiler to build tiles regardless of bucket size; False disables.
+    use_tile_collision: bool | None = None
 
 
 @struct.dataclass
@@ -148,6 +154,32 @@ class CollisionGrid:
 
 
 @struct.dataclass
+class RoadTiles:
+    """Scene-static spatially-sorted road tiles for the tile-skip agent-road
+    narrow phase (core/pallas_kernels.agent_road_hits_tiled).
+
+    Segments are Morton-ordered within each world at scene-compile time so a
+    tile of RT consecutive segments covers a compact spatial patch; the
+    kernel then skips whole [agent-block, tile] blocks whose AABB distance
+    bound proves no overlap is possible.  Replaces the role of the
+    reference's broadphase BVH (madrona) for large road buckets — but as
+    dense tile-granular work-skipping instead of per-entity candidate lists,
+    which measured faster on TPU (docs/PERFORMANCE.md)."""
+
+    feat: jnp.ndarray  # [W, T, 8, RT] f32 rows: px, py, cos, sin, h0, h1,
+    #                     allow_vehicle, allow_other (0 for invalid segments)
+    bounds: jnp.ndarray  # [W, T, 6] f32: xmin, ymin, xmax, ymax (over valid
+    #                       segment centers), reach (max segment half-diag),
+    #                       valid (tile has any valid segment)
+    world_min: jnp.ndarray  # [W, 2] road AABB lower corner (agent Morton)
+    world_inv_ext: jnp.ndarray  # [W, 2] 1 / road AABB extent
+
+    @property
+    def tile_size(self) -> int:
+        return self.feat.shape[3]
+
+
+@struct.dataclass
 class Scene:
     """One batch of compiled worlds; the analogue of the reference's per-world
     ``Map`` singleton + the entities created from it (src/level_gen.cpp)."""
@@ -160,6 +192,7 @@ class Scene:
     map_name: jnp.ndarray  # [W, 32] int32 char codes
     scenario_id: jnp.ndarray  # [W, 32] int32 char codes
     grid: CollisionGrid | None = None
+    rtiles: RoadTiles | None = None
 
     @property
     def num_worlds(self) -> int:

@@ -117,6 +117,9 @@ class EnvConfig:
     collision_top_k: Optional[int] = None
     approx_top_k: bool = False
     use_collision_grid: bool = False
+    # None = auto: tile-skip Pallas narrow phase when the road bucket is
+    # large (scene/rtiles.py); True forces it, False disables.
+    use_tile_collision: Optional[bool] = None
     seed: int = 0
 
     def sim_params(self) -> Params:
@@ -163,6 +166,7 @@ class EnvConfig:
             approx_top_k=self.approx_top_k,
             collision_top_k=self.collision_top_k,
             use_collision_grid=self.use_collision_grid,
+            use_tile_collision=self.use_tile_collision,
         )
 
 

@@ -422,35 +422,39 @@ def build_scene(
             for k in worlds[0].agent
         }
     )
+    r_pos = np.stack([pad_road(w.road["pos"]) for w in worlds])
+    r_yaw = np.stack([pad_road(w.road["yaw"]) for w in worlds])
+    r_scale = np.stack([pad_road(w.road["scale"]) for w in worlds])
+    r_etype = np.stack([pad_road(w.road["etype"]) for w in worlds])
+    r_valid = np.stack([np.arange(R) < w.num_roads for w in worlds])
     roads = RoadGraph(
-        pos=jnp.asarray(np.stack([pad_road(w.road["pos"]) for w in worlds])),
-        yaw=jnp.asarray(np.stack([pad_road(w.road["yaw"]) for w in worlds])),
-        scale=jnp.asarray(
-            np.stack([pad_road(w.road["scale"]) for w in worlds])
-        ),
-        etype=jnp.asarray(
-            np.stack([pad_road(w.road["etype"]) for w in worlds])
-        ),
+        pos=jnp.asarray(r_pos),
+        yaw=jnp.asarray(r_yaw),
+        scale=jnp.asarray(r_scale),
+        etype=jnp.asarray(r_etype),
         rid=jnp.asarray(
             np.stack([pad_road(w.road["rid"], -1) for w in worlds])
         ),
         map_type=jnp.asarray(
             np.stack([pad_road(w.road["map_type"], -1) for w in worlds])
         ),
-        valid=jnp.asarray(
-            np.stack(
-                [
-                    np.arange(R) < w.num_roads
-                    for w in worlds
-                ]
-            )
-        ),
+        valid=jnp.asarray(r_valid),
     )
     grid = None
     if params.use_collision_grid:
         from gpudrive_lab_tpu.scene.grid import build_collision_grid
 
         grid = build_collision_grid(worlds)
+    rtiles = None
+    from gpudrive_lab_tpu.scene.rtiles import (
+        TILE_COLLISION_MIN_R,
+        build_road_tiles,
+    )
+
+    if params.use_tile_collision is True or (
+        params.use_tile_collision is None and R >= TILE_COLLISION_MIN_R
+    ):
+        rtiles = build_road_tiles(r_pos, r_yaw, r_scale, r_etype, r_valid)
     return Scene(
         agents=agents,
         roads=roads,
@@ -460,4 +464,5 @@ def build_scene(
         map_name=jnp.asarray(np.stack([w.map_name for w in worlds])),
         scenario_id=jnp.asarray(np.stack([w.scenario_id for w in worlds])),
         grid=grid,
+        rtiles=rtiles,
     )
