@@ -48,67 +48,86 @@ def feature_class_to_map_id(feature: str, sub_type: int) -> int:
             "driveway": 20}.get(feature, -1)
 
 
-def _parse_object_state(states, final_state) -> Dict[str, Any]:
-    """reference: process_waymo_files.py:113-152."""
-    return {
-        "position": [
-            {"x": s.center_x, "y": s.center_y, "z": s.center_z}
-            if s.valid
-            else {"x": ERR_VAL, "y": ERR_VAL, "z": ERR_VAL}
-            for s in states
-        ],
-        "width": final_state.width,
-        "length": final_state.length,
-        "height": final_state.height,
-        "heading": [
-            (s.heading + np.pi) % (2 * np.pi) - np.pi if s.valid else ERR_VAL
-            for s in states
-        ],
-        "velocity": [
-            {"x": s.velocity_x, "y": s.velocity_y}
-            if s.valid
-            else {"x": ERR_VAL, "y": ERR_VAL}
-            for s in states
-        ],
-        "valid": [bool(s.valid) for s in states],
-        "goalPosition": {
-            "x": final_state.center_x,
-            "y": final_state.center_y,
-            "z": final_state.center_z,
-        },
-    }
+# Columns of the per-step state matrix extracted from a track.
+_X, _Y, _Z, _HEADING, _VX, _VY, _VALID = range(7)
+
+
+def _track_state_matrix(track) -> np.ndarray:
+    """All per-step quantities of one track as a [T, 7] float64 matrix
+    (columns ``_X.._VALID``); invalid steps carry ERR_VAL everywhere.
+
+    Output schema contract: reference data_utils/process_waymo_files.py
+    (ParseObjectState), re-expressed as one array pass so downstream
+    consumers (JSON emit, expert marking) slice columns instead of walking
+    proto objects repeatedly."""
+    m = np.full((len(track.states), 7), ERR_VAL, np.float64)
+    for row, s in zip(m, track.states):
+        row[_VALID] = 1.0 if s.valid else 0.0
+        if s.valid:
+            row[_X], row[_Y], row[_Z] = s.center_x, s.center_y, s.center_z
+            # wrap heading into (-pi, pi]
+            row[_HEADING] = (s.heading + np.pi) % (2 * np.pi) - np.pi
+            row[_VX], row[_VY] = s.velocity_x, s.velocity_y
+    return m
+
+
+def _xyz(triple) -> Dict[str, float]:
+    x, y, z = triple
+    return {"x": x, "y": y, "z": z}
 
 
 def _init_object(track) -> Optional[Dict[str, Any]]:
-    final_valid_index = 0
-    for i, s in enumerate(track.states):
-        if s.valid:
-            final_valid_index = i
-    obj = _parse_object_state(track.states, track.states[final_valid_index])
-    obj["type"] = _WAYMO_OBJECT_STR.get(int(track.object_type), "other")
-    obj["id"] = track.id
-    return obj
+    """One track -> simulator object dict.  The goal position and box
+    dimensions are anchored at the LAST valid step (or step 0 if none is
+    valid — matching the reference's 0-initialised final_valid_index)."""
+    m = _track_state_matrix(track)
+    valid_steps = np.flatnonzero(m[:, _VALID] > 0)
+    anchor = track.states[int(valid_steps[-1]) if len(valid_steps) else 0]
+    return {
+        "position": [_xyz(t) for t in m[:, [_X, _Y, _Z]].tolist()],
+        "width": anchor.width,
+        "length": anchor.length,
+        "height": anchor.height,
+        "heading": m[:, _HEADING].tolist(),
+        "velocity": [
+            {"x": vx, "y": vy} for vx, vy in m[:, [_VX, _VY]].tolist()
+        ],
+        "valid": (m[:, _VALID] > 0).tolist(),
+        "goalPosition": _xyz(
+            (anchor.center_x, anchor.center_y, anchor.center_z)
+        ),
+        "type": _WAYMO_OBJECT_STR.get(int(track.object_type), "other"),
+        "id": track.id,
+    }
+
+
+# Which repeated-point field holds a map feature's geometry.  Features not
+# listed use ``polyline`` (lanes, road lines, road edges).
+_GEOMETRY_FIELD = {
+    "stop_sign": "position",
+    "crosswalk": "polygon",
+    "speed_bump": "polygon",
+    "driveway": "polygon",
+}
 
 
 def _init_road(map_feature) -> Optional[Dict[str, Any]]:
-    """reference: process_waymo_files.py:198-230.  ``map_feature`` must
-    expose WhichOneof('feature_data') and the oneof fields."""
-    feature = map_feature.WhichOneof("feature_data")
-    if feature is None:
+    """One map feature -> simulator road dict (output schema contract:
+    reference data_utils/process_waymo_files.py, init_road).  ``map_feature``
+    must expose WhichOneof('feature_data') and the oneof fields."""
+    kind = map_feature.WhichOneof("feature_data")
+    if kind is None:
         return None
-    data = getattr(map_feature, feature)
-    if feature == "stop_sign":
-        p = data.position
-        geometry = [{"x": p.x, "y": p.y, "z": p.z}]
-    elif feature in ("crosswalk", "speed_bump", "driveway"):
-        geometry = [{"x": p.x, "y": p.y, "z": p.z} for p in data.polygon]
-    else:
-        geometry = [{"x": p.x, "y": p.y, "z": p.z} for p in data.polyline]
-    sub_type = int(getattr(data, "type", -1))
+    data = getattr(map_feature, kind)
+    pts = getattr(data, _GEOMETRY_FIELD.get(kind, "polyline"))
+    if kind == "stop_sign":
+        pts = [pts]  # a single Point, not a repeated field
     return {
-        "geometry": geometry,
-        "type": feature,
-        "map_element_id": feature_class_to_map_id(feature, sub_type),
+        "geometry": [_xyz((p.x, p.y, p.z)) for p in pts],
+        "type": kind,
+        "map_element_id": feature_class_to_map_id(
+            kind, int(getattr(data, "type", -1))
+        ),
         "id": map_feature.id,
     }
 
