@@ -83,9 +83,26 @@ def sample_denoiser_guided(
     config: VBDConfig,
     guidance: Sequence[GuidanceCost] = (),
     guidance_scale: float = 0.05,
+    rewards: Sequence = (),
+    guidance_iter: int = 5,
+    guidance_start: int = 99,
+    guidance_end: int = 1,
+    scale_grad_by_std: bool = True,
 ) -> Dict[str, jnp.ndarray]:
-    """Reverse diffusion with additive cost-gradient guidance
-    (reference: sim_actor.py sample_denoiser with guidance_fn)."""
+    """Reverse diffusion with CTG guidance (reference: sim_actor.py
+    ctg_guidance, :98-190): for every diffusion step t in
+    [guidance_end, guidance_start], run ``guidance_iter`` Adam steps on the
+    posterior mean mu of q(x_{t-1} | x_t, x0_pred) maximizing the summed
+    rewards (equivalently minimizing the summed costs), with the Adam
+    learning rate optionally scaled by the posterior std, then sample
+    x_{t-1} = mu + std * noise.
+
+    ``guidance``: legacy scalar costs ``(trajs, batch) -> cost``.
+    ``rewards``: reference-style metrics ``(traj_pred, action_pred, batch)
+    -> reward array`` (vbd/guidance_metrics.py); summed and ascended.
+    """
+    import optax
+
     B = batch["agents_history"].shape[0]
     A = config.agents_len
     current = batch["agents_history"][:, :A, -1]
@@ -99,19 +116,41 @@ def sample_denoiser_guided(
             current_states, actions, action_len=config.action_len,
             global_frame=True,
         )
-        return sum(g(trajs, batch) for g in guidance)
+        cost = sum((g(trajs, batch) for g in guidance), jnp.float32(0.0))
+        for r in rewards:
+            cost = cost - r(trajs, actions, batch).sum()
+        return cost
 
-    cost_grad = jax.grad(total_cost) if guidance else None
+    guided = bool(guidance) or bool(rewards)
+    cost_grad = jax.grad(total_cost) if guided else None
 
     rng, k0 = jax.random.split(rng)
     x_t = jax.random.normal(k0, (B, A, config.action_blocks, 2))
     for step in reversed(range(scheduler.steps)):
         t = jnp.full((B, A), step, jnp.int32)
         denoised, _, _ = model.apply(variables, batch, x_t, t)
-        if cost_grad is not None:
-            denoised = denoised - guidance_scale * cost_grad(denoised)
         rng, k = jax.random.split(rng)
-        x_t = scheduler.step(denoised, x_t, t, k)
+        if guided and guidance_end <= step <= guidance_start:
+            mu, std = scheduler.posterior_mean_std(denoised, x_t, t)
+            # scalar posterior std for this t (same for every element)
+            std_scalar = jnp.sqrt(
+                scheduler.betas[step]
+                * (1.0 - (scheduler.alpha_bars[step - 1] if step > 0 else 1.0))
+                / (1.0 - scheduler.alpha_bars[step])
+            ) if step > 0 else jnp.float32(0.0)
+            lr = guidance_scale * (
+                std_scalar if (scale_grad_by_std and step > 0) else 1.0
+            )
+            opt = optax.adam(lr)
+            opt_state = opt.init(mu)
+            for _ in range(guidance_iter):
+                g = cost_grad(mu)
+                updates, opt_state = opt.update(g, opt_state)
+                mu = optax.apply_updates(mu, updates)
+            noise = jax.random.normal(k, x_t.shape)
+            x_t = jnp.where(step > 0, mu + std * noise, mu)
+        else:
+            x_t = scheduler.step(denoised, x_t, t, k)
     actions = unnormalize_actions(x_t, config)
     trajs = roll_out(
         current_states, actions, action_len=config.action_len,

@@ -1,0 +1,294 @@
+"""Differentiable guidance rewards for VBD sampling.
+
+JAX re-implementation of the reference's guidance metric suite
+(reference: gpudrive/integrations/vbd/sim_agent/guidance_metrics/):
+
+  * ``overlap_reward``        — OBB *signed distance* between all agent
+    pairs (overlap_metric.py:14-63 OverlapReward).  The reference computes
+    it via a Minkowski-sum polygon (torch<->jax bridge,
+    overlap_metric.py:124-504); here the identical quantity is computed
+    closed-form: penetration depth from the 4 SAT axis overlaps when boxes
+    intersect (the Minkowski 8-gon's edge normals ARE the 4 box axes),
+    min corner-to-edge distance when separated — no host round-trips, fully
+    fused, differentiable.
+  * ``overlap_reward_simple`` — center-distance variant
+    (overlap_metric.py:66-121).
+  * ``onroad_reward``         — road-edge containment via per-corner signed
+    distance to the nearest edge point (onroad_metric.py:11-250).
+  * ``tracking_reward`` / ``goal_reward`` — smooth-L1 trajectory/goal
+    tracking (tracking_metric.py:6-107).
+  * ``control_reward``        — quadratic action cost (control_metric.py).
+
+All factories return ``reward_fn(traj_pred, action_pred, batch) -> array``;
+rewards are SUMMED by the CTG guidance loop (vbd/guidance.py) and ascended.
+
+Batch layout (vbd/data_utils.py): ``agents_history`` [B, N, H, 8] =
+(x, y, yaw, vx, vy, length, width, height); ``agents_interested`` [B, N]
+(> 0 marks a live agent); ``polylines`` [B, P, K, 5] =
+(x, y, heading, traffic, etype).  Trajectories are [B, A, T, 5] =
+(x, y, yaw, vx, vy); actions [B, A, T, 2] = (accel, yaw_rate).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from gpudrive_lab_tpu import constants as C
+
+RewardFn = Callable[[jnp.ndarray, jnp.ndarray, dict], jnp.ndarray]
+
+_EPS = 1e-9
+
+
+def smooth_l1(x: jnp.ndarray, beta: float = 1.0) -> jnp.ndarray:
+    """torch.nn.functional.smooth_l1_loss, elementwise."""
+    ax = jnp.abs(x)
+    return jnp.where(ax < beta, 0.5 * ax * ax / beta, ax - 0.5 * beta)
+
+
+def obb_corners(box5: jnp.ndarray) -> jnp.ndarray:
+    """[..., 5] (x, y, length, width, yaw) -> [..., 4, 2] boundary corners
+    (reference: onroad_metric.py corners_from_bboxes)."""
+    c = jnp.cos(box5[..., 4])
+    s = jnp.sin(box5[..., 4])
+    lc = box5[..., 2] / 2 * c
+    ls = box5[..., 2] / 2 * s
+    wc = box5[..., 3] / 2 * c
+    ws = box5[..., 3] / 2 * s
+    dx = jnp.stack([lc + ws, lc - ws, -lc - ws, -lc + ws], axis=-1)
+    dy = jnp.stack([ls - wc, ls + wc, -ls + wc, -ls - wc], axis=-1)
+    return jnp.stack([dx, dy], axis=-1) + box5[..., None, 0:2]
+
+
+def _point_segment_dist(p, a, b):
+    """Distance from points p to segments (a, b); all [..., 2]."""
+    ab = b - a
+    denom = jnp.maximum(jnp.sum(ab * ab, axis=-1), _EPS)
+    t = jnp.clip(jnp.sum((p - a) * ab, axis=-1) / denom, 0.0, 1.0)
+    proj = a + t[..., None] * ab
+    d = p - proj
+    return jnp.sqrt(jnp.sum(d * d, axis=-1) + _EPS)
+
+
+def signed_distance_obb(box_a: jnp.ndarray, box_b: jnp.ndarray) -> jnp.ndarray:
+    """Signed distance between broadcast pairs of 5-dof boxes
+    (x, y, length, width, yaw): negative = penetration depth when
+    overlapping, else the Euclidean gap.  Equals the reference's
+    Minkowski-polygon signed distance (overlap_metric.py compute_overlap)
+    for boxes, computed closed-form."""
+    d = box_b[..., 0:2] - box_a[..., 0:2]
+    ya = box_a[..., 4]
+    yb = box_b[..., 4]
+    rel = yb - ya
+    ac = jnp.abs(jnp.cos(rel))
+    asn = jnp.abs(jnp.sin(rel))
+    ca, sa = jnp.cos(ya), jnp.sin(ya)
+    cb, sb = jnp.cos(yb), jnp.sin(yb)
+    dxa = ca * d[..., 0] + sa * d[..., 1]
+    dya = -sa * d[..., 0] + ca * d[..., 1]
+    exb = cb * d[..., 0] + sb * d[..., 1]
+    eyb = -sb * d[..., 0] + cb * d[..., 1]
+    a0, a1 = box_a[..., 2] / 2, box_a[..., 3] / 2
+    b0, b1 = box_b[..., 2] / 2, box_b[..., 3] / 2
+    # axis overlap margins; all four positive <=> boxes intersect, and the
+    # smallest is the penetration depth (minimum translation distance)
+    pen = jnp.minimum(
+        jnp.minimum(
+            a0 + b0 * ac + b1 * asn - jnp.abs(dxa),
+            a1 + b0 * asn + b1 * ac - jnp.abs(dya),
+        ),
+        jnp.minimum(
+            b0 + a0 * ac + a1 * asn - jnp.abs(exb),
+            b1 + a0 * asn + a1 * ac - jnp.abs(eyb),
+        ),
+    )
+
+    ca_pts = obb_corners(box_a)  # [..., 4, 2]
+    cb_pts = obb_corners(box_b)
+    ca_nxt = jnp.roll(ca_pts, -1, axis=-2)
+    cb_nxt = jnp.roll(cb_pts, -1, axis=-2)
+    # corners of A vs edges of B: [..., 4(corner), 4(edge)]
+    d_ab = _point_segment_dist(
+        ca_pts[..., :, None, :], cb_pts[..., None, :, :],
+        cb_nxt[..., None, :, :],
+    )
+    d_ba = _point_segment_dist(
+        cb_pts[..., :, None, :], ca_pts[..., None, :, :],
+        ca_nxt[..., None, :, :],
+    )
+    gap = jnp.minimum(
+        jnp.min(d_ab, axis=(-2, -1)), jnp.min(d_ba, axis=(-2, -1))
+    )
+    return jnp.where(pen > 0.0, -pen, gap)
+
+
+def _traj_5dof(traj_pred: jnp.ndarray, batch: dict) -> jnp.ndarray:
+    """(x, y, length, width, yaw) boxes from trajectories + the static box
+    dims of the last history step (reference: overlap_metric.py:31-39)."""
+    A, T = traj_pred.shape[1], traj_pred.shape[2]
+    dims = batch["agents_history"][:, :A, -1, 5:7]  # [B, A, 2]
+    dims = jnp.broadcast_to(dims[:, :, None, :], traj_pred.shape[:3] + (2,))
+    return jnp.concatenate(
+        [traj_pred[..., 0:2], dims, traj_pred[..., 2:3]], axis=-1
+    )
+
+
+def _agent_mask(batch: dict, A: int) -> jnp.ndarray:
+    return (batch["agents_interested"][:, :A] > 0).astype(jnp.float32)
+
+
+def overlap_reward(clip: float = 5.0, weight: float = 1.0) -> RewardFn:
+    """reference: overlap_metric.py OverlapReward.  Returns [B, A, T, A]
+    signed distances, clipped contributions removed; ascending the sum
+    pushes close/overlapping pairs apart."""
+
+    def fn(traj_pred, action_pred, batch):
+        box = _traj_5dof(traj_pred, batch)  # [B, A, T, 5]
+        A = box.shape[1]
+        sd = signed_distance_obb(box[:, :, :, None], box[:, None, :, :].swapaxes(2, 3))
+        # ^ box_i: [B, A, T, 1, 5]; box_j: [B, 1, A, T, 5] -> [B, 1, T, A, 5]
+        m = _agent_mask(batch, A)
+        valid = (m[:, :, None, None] * m[:, None, None, :]) > 0.5
+        eye = jnp.eye(A, dtype=bool)[:, None, :]
+        sd = jnp.where(valid & ~eye[None], sd, clip)
+        return sd * (sd < clip) * weight
+
+    return fn
+
+
+def overlap_reward_simple(clip: float = 5.0, weight: float = 1.0) -> RewardFn:
+    """reference: overlap_metric.py OverlapRewardSimple (center distances;
+    the partner position is stop-gradiented exactly as the reference
+    detaches the transposed trajectory)."""
+
+    def fn(traj_pred, action_pred, batch):
+        A = traj_pred.shape[1]
+        p = traj_pred[..., 0:2]  # [B, A, T, 2]
+        d = p[:, :, :, None, :] - jax.lax.stop_gradient(
+            jnp.swapaxes(p, 1, 2)[:, None, :, :, :]
+        )  # [B, A, T, A, 2]
+        dist = jnp.sqrt(jnp.sum(d * d, axis=-1) + _EPS)
+        m = _agent_mask(batch, A)
+        valid = (m[:, :, None, None] * m[:, None, None, :]) > 0.5
+        eye = jnp.eye(A, dtype=bool)[:, None, :]
+        dist = jnp.where(valid & ~eye[None], dist, clip)
+        return dist * (dist < clip) * weight
+
+    return fn
+
+
+def _edge_points(batch: dict):
+    """Flattened road-edge sample points from the polyline tensor:
+    (xy [B, N, 2], dir [B, N, 2], poly_id [B, N], valid [B, N])."""
+    pl = batch["polylines"]  # [B, P, K, 5]
+    B, P, K, _ = pl.shape
+    flat = pl.reshape(B, P * K, 5)
+    xy = flat[..., 0:2]
+    heading = flat[..., 2]
+    direction = jnp.stack([jnp.cos(heading), jnp.sin(heading)], axis=-1)
+    pid = jnp.broadcast_to(
+        jnp.arange(P)[None, :, None], (B, P, K)
+    ).reshape(B, P * K)
+    valid = flat[..., 4] == float(C.ET_ROAD_EDGE)
+    return xy, direction, pid, valid
+
+
+def _cross2(a, b):
+    return a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0]
+
+
+def _signed_dist_to_road_edge(query, xy, direction, pid, valid):
+    """Per-query signed distance to the nearest road-edge point (one world):
+    positive = offroad (reference: onroad_metric.py
+    compute_signed_distance_to_nearest_road_edge_point).  query [Q, 2]."""
+    diff = xy[None] - query[:, None]  # [Q, N, 2]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    d2 = jnp.where(valid[None], d2, jnp.inf)
+    nearest = jnp.argmin(d2, axis=-1)  # [Q]
+    prior = jnp.maximum(nearest - 1, 0)
+    near_xy = xy[nearest]
+    near_dir = direction[nearest]
+    prior_dir = direction[prior]
+    to_edge = query - near_xy
+    cross = _cross2(to_edge, near_dir)
+    cross_prior = _cross2(to_edge, prior_dir)
+    same_curve = (pid[nearest] == pid[prior]) & valid[prior]
+    sign = jnp.sign(
+        jnp.where(same_curve & (cross_prior < cross), cross_prior, cross)
+    )
+    sign = jnp.where(sign == 0, 1.0, sign)
+    dist = jnp.sqrt(jnp.sum(to_edge * to_edge, axis=-1) + _EPS)
+    return dist * sign
+
+
+def onroad_reward(weight: float = 0.1) -> RewardFn:
+    """reference: onroad_metric.py OnroadReward — per-corner signed distance
+    to the nearest road edge, max over corners; agents already offroad at
+    t=0 are not penalized; ascending pushes straddling corners back in."""
+
+    def fn(traj_pred, action_pred, batch):
+        box = _traj_5dof(traj_pred, batch)  # [B, A, T, 5]
+        B, A, T = box.shape[:3]
+        corners = obb_corners(box).reshape(B, A * T * 4, 2)
+        xy, direction, pid, valid = _edge_points(batch)
+        sd = jax.vmap(_signed_dist_to_road_edge)(
+            corners, xy, direction, pid, valid
+        )
+        sd = sd.reshape(B, A, T, 4).max(axis=-1)  # [B, A, T]
+        sd = sd * (sd[:, :, 0:1] < 0)  # only initially-onroad agents
+        cost = jax.nn.relu(sd) * _agent_mask(batch, A)[:, :, None] * weight
+        return -cost
+
+    return fn
+
+
+def tracking_reward(
+    traj_ref: jnp.ndarray,
+    weight: Optional[jnp.ndarray] = None,
+    beta: float = 1.0,
+) -> RewardFn:
+    """reference: tracking_metric.py TrackingReward (smooth-L1 to a
+    reference trajectory [B, A, T, D])."""
+
+    def fn(traj_pred, action_pred, batch):
+        d = traj_ref.shape[-1]
+        w = jnp.ones_like(traj_ref) if weight is None else weight
+        if w.ndim == traj_ref.ndim - 1:
+            w = w[..., None]
+        return -smooth_l1(traj_pred[..., :d] - traj_ref, beta) * w
+
+    return fn
+
+
+def goal_reward(
+    goal: jnp.ndarray,
+    goal_mask: Optional[jnp.ndarray] = None,
+    look_ahead: int = -1,
+    beta: float = 1.0,
+) -> RewardFn:
+    """reference: tracking_metric.py GoalReward (smooth-L1 of the
+    ``look_ahead`` trajectory step to per-agent goals [B, A, D])."""
+
+    def fn(traj_pred, action_pred, batch):
+        d = goal.shape[-1]
+        m = jnp.ones_like(goal) if goal_mask is None else goal_mask
+        return -smooth_l1(traj_pred[..., look_ahead, :d] - goal, beta) * m
+
+    return fn
+
+
+def control_reward(weight_a: float = 1.0, weight_yaw: float = 1.0) -> RewardFn:
+    """reference: control_metric.py ControlReward (quadratic action cost)."""
+
+    def fn(traj_pred, action_pred, batch):
+        A = action_pred.shape[1]
+        cost = (
+            action_pred[..., 0] ** 2 * weight_a
+            + action_pred[..., 1] ** 2 * weight_yaw
+        )
+        return -cost * _agent_mask(batch, A)[:, :, None]
+
+    return fn

@@ -140,14 +140,15 @@ class DDPMScheduler:
             ab = ab[..., None]
         return jnp.sqrt(ab) * x0 + jnp.sqrt(1.0 - ab) * noise
 
-    def step(self, x0_pred, x_t, t, rng):
-        """One reverse step using the predicted x0 (posterior q(x_{t-1} |
-        x_t, x0))."""
+    def posterior_mean_std(self, x0_pred, x_t, t):
+        """Mean and std of q(x_{t-1} | x_t, x0) (the reference scheduler's
+        q_mean / q_variance, integrations/vbd/model/utils.py DDPM_Sampler,
+        used by CTG guidance in sim_actor.py:125-140)."""
         x0_pred = jnp.clip(x0_pred, -self.clamp_val, self.clamp_val)
         ab_t = self.alpha_bars[t]
         ab_prev = jnp.where(t > 0, self.alpha_bars[jnp.maximum(t - 1, 0)], 1.0)
         beta_t = self.betas[t]
-        for _ in range(x_t.ndim - ab_t.ndim):
+        for _ in range(x_t.ndim - jnp.ndim(ab_t)):
             ab_t = ab_t[..., None]
             ab_prev = ab_prev[..., None]
             beta_t = beta_t[..., None]
@@ -157,11 +158,17 @@ class DDPMScheduler:
         )
         mean = coef_x0 * x0_pred + coef_xt * x_t
         var = beta_t * (1.0 - ab_prev) / (1.0 - ab_t)
+        return mean, jnp.sqrt(var)
+
+    def step(self, x0_pred, x_t, t, rng):
+        """One reverse step using the predicted x0 (posterior q(x_{t-1} |
+        x_t, x0))."""
+        mean, std = self.posterior_mean_std(x0_pred, x_t, t)
         noise = jax.random.normal(rng, x_t.shape)
         t_b = t
         while jnp.ndim(t_b) < x_t.ndim:
             t_b = jnp.asarray(t_b)[..., None]
-        return jnp.where(t_b > 0, mean + jnp.sqrt(var) * noise, mean)
+        return jnp.where(t_b > 0, mean + std * noise, mean)
 
 
 # ---------------------------------------------------------------------------
