@@ -56,10 +56,16 @@ class PPOConfig:
     ent_coef: float = 1e-4
     vf_coef: float = 0.3
     max_grad_norm: float = 0.5
+    # Store per-step SimStates in the rollout and REMATERIALIZE flat
+    # observations inside the update instead of storing them.  The obs
+    # tensor dominates rollout memory ([T, W, A, 3368] f32 = 7 GB at
+    # W=128, T=32 — an HBM OOM); the SimState is ~260x smaller and the obs
+    # recompute is ~140 us/step.  Classic remat: trade FLOPs for HBM.
+    remat_obs: bool = True
 
 
 class Transition(NamedTuple):
-    obs: jnp.ndarray  # [W, A, D]
+    obs: Any  # [W, A, D] flat obs, or None when PPOConfig.remat_obs
     action: jnp.ndarray  # [W, A] int32
     logprob: jnp.ndarray  # [W, A]
     value: jnp.ndarray  # [W, A]
@@ -73,6 +79,7 @@ class Transition(NamedTuple):
     ep_goal: jnp.ndarray  # [W] fraction of controlled agents at goal
     ep_collided: jnp.ndarray  # [W]
     ep_off_road: jnp.ndarray  # [W]
+    env_state: Any = None  # pre-step SimState when PPOConfig.remat_obs
 
 
 class EnvCarry(NamedTuple):
@@ -168,7 +175,8 @@ def make_ppo_funcs(
                 world_done, jnp.sum(x * controlled, axis=1) / n_ctrl, 0.0
             )
             t = Transition(
-                obs=obs, action=a, logprob=logp, value=value, reward=reward,
+                obs=None if config.remat_obs else obs,
+                action=a, logprob=logp, value=value, reward=reward,
                 done=done, mask=mask,
                 ep_done=world_done,
                 ep_goal=frac(state.reached_goal),
@@ -179,6 +187,7 @@ def make_ppo_funcs(
                     )
                 ),
                 ep_off_road=frac(jnp.clip(state.collided_road, 0, 1)),
+                env_state=carry.state if config.remat_obs else None,
             )
             blend = lambda f, s: jnp.where(
                 world_done.reshape((-1,) + (1,) * (s.ndim - 1)), f, s
@@ -221,9 +230,20 @@ def make_ppo_funcs(
             config.gamma, config.gae_lambda,
         )
 
-    def loss_fn(variables, mb, rng):
+    def loss_fn(variables, mb, rng, scene, reward_weights):
+        if config.remat_obs:
+            # Rematerialize flat observations for this minibatch from the
+            # stored SimStates ([Tm] time-sliced; vmap over the time axis).
+            obs = jax.vmap(
+                lambda st: flat_observation(
+                    scene, st, params, spec, reward_weights
+                )[0]
+            )(mb["obs_state"])
+            obs = obs.reshape((-1,) + obs.shape[3:])
+        else:
+            obs = mb["obs"]
         _, newlogp, entropy, newvalue = policy_forward(
-            variables, mb["obs"], rng, action=mb["action"]
+            variables, obs, rng, action=mb["action"]
         )
         logratio = newlogp - mb["logprob"]
         ratio = jnp.exp(logratio)
@@ -279,7 +299,6 @@ def make_ppo_funcs(
         advs, rets = gae(traj, last_value)
 
         batch = {
-            "obs": traj.obs,
             "action": traj.action,
             "logprob": traj.logprob,
             "value": traj.value,
@@ -287,6 +306,8 @@ def make_ppo_funcs(
             "ret": rets,
             "mask": traj.mask,
         }
+        if not config.remat_obs:
+            batch["obs"] = traj.obs
 
         T = config.rollout_len
         M = config.num_minibatches
@@ -302,8 +323,15 @@ def make_ppo_funcs(
                     (-1,) + x.shape[3:]
                 )
                 mb = {k: take(v) for k, v in batch.items()}
+                if config.remat_obs:
+                    # keep the [Tm, W, A] layout — loss_fn vmaps the obs
+                    # recompute over the time axis
+                    mb["obs_state"] = jax.tree.map(
+                        lambda x: jnp.take(x, mb_idx, axis=0), traj.env_state
+                    )
                 (loss, aux), grads = grad_fn(
-                    variables, mb, jax.random.fold_in(rng_e, mb_idx[0])
+                    variables, mb, jax.random.fold_in(rng_e, mb_idx[0]),
+                    scene, reward_weights,
                 )
                 updates, opt_state = tx.update(grads, opt_state, variables)
                 variables = optax.apply_updates(variables, updates)

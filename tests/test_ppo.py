@@ -49,6 +49,31 @@ def test_train_step_runs_and_updates(trainer):
     assert not np.allclose(before, after), "params did not update"
 
 
+def test_remat_obs_matches_stored_obs(trainer):
+    """Rematerializing flat observations from stored SimStates inside the
+    update must be numerically identical to storing the obs tensor in the
+    rollout (same rng chain, same scene)."""
+    env, _ = trainer
+    results = []
+    for remat in (True, False):
+        _, variables, opt_state, carry, fresh, train_fn = build_trainer(
+            env, PPOConfig(rollout_len=8, num_minibatches=2, remat_obs=remat),
+            seed=7,
+        )
+        variables, opt_state, carry, metrics = train_fn(
+            env.scene, variables, opt_state, carry, fresh, env.reward_weights
+        )
+        results.append((jax.tree.leaves(variables), metrics))
+    (va, ma), (vb, mb) = results
+    for a, b in zip(va, vb):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
+        )
+    np.testing.assert_allclose(
+        float(ma["pg_loss"]), float(mb["pg_loss"]), atol=1e-5, rtol=1e-4
+    )
+
+
 def test_gae_matches_numpy():
     from gpudrive_lab_tpu.networks.late_fusion import LateFusionPolicy, PolicyConfig
     from gpudrive_lab_tpu.ppo import ppo as ppomod
