@@ -51,6 +51,7 @@ def generate_state_action_pairs(
     pm_default = np.zeros((W, A, A - 1), np.int32)
     rm_default = np.zeros((W, A, K), bool)
     obs_l, act_l, dead_l, pmask_l, rmask_l = [], [], [], [], []
+    pos_l, yaw_l = [], []
     for t in range(T):
         obs_l.append(np.asarray(obs))
         dead_l.append(np.asarray(env.get_dones()) > 0)
@@ -58,6 +59,8 @@ def generate_state_action_pairs(
         rm = env.get_road_mask()
         pmask_l.append(pm_default if pm is None else np.asarray(pm))
         rmask_l.append(rm_default if rm is None else np.asarray(rm))
+        pos_l.append(np.asarray(env.state.pos))
+        yaw_l.append(np.asarray(env.state.yaw))
         act_t = _slice_t(expert_actions, t)
         act_l.append(np.asarray(act_t)[..., :3])
         env.step_dynamics(act_t)
@@ -69,6 +72,10 @@ def generate_state_action_pairs(
         "dead_mask": np.stack(dead_l),
         "partner_mask": np.stack(pmask_l),
         "road_mask": np.stack(rmask_l),
+        # world-frame state history for the position probes / intervention
+        # analysis (il.analysis.probe_labels_from_positions)
+        "positions": np.stack(pos_l),
+        "yaw": np.stack(yaw_l),
         "controlled_mask": np.asarray(env.cont_agent_mask),
         "valid_mask": np.asarray(env.scene.agents.valid),
     }

@@ -109,6 +109,11 @@ class MultiHeadAttention(nn.Module):
         if mask is not None:
             logits = jnp.where(mask[:, None, None, :], -1e9, logits)
         attn = jax.nn.softmax(logits, axis=-1)
+        # Recorded for the fork's importance-weight analysis (reference:
+        # baselines/il/test/importance_weight.py:69 reads the ego->partner
+        # attention as the per-head importance over partners).  Retrieved via
+        # mutable=["intermediates"]; free when not requested.
+        self.sow("intermediates", "attn_weights", attn)
         out = jnp.einsum(
             "bhqk,bkhd->bqhd", attn, v, preferred_element_type=jnp.float32
         )
@@ -270,13 +275,17 @@ class EarlyFusionAttnBCNet(nn.Module):
         ro_f = fused[:, 1 : 1 + cfg.ro_max]
         rg_f = fused[:, 1 + cfg.ro_max :]
 
-        ego_ro = CrossAttentionLayer(cfg.num_head, cfg.network_dim, dtype=D)(
-            ego_f, ro_f, ro_mask
-        )[:, 0]
-        ego_rg = CrossAttentionLayer(cfg.num_head, cfg.network_dim, dtype=D)(
-            ego_f, rg_f, rg_mask
-        )[:, 0]
+        ego_ro = CrossAttentionLayer(
+            cfg.num_head, cfg.network_dim, dtype=D, name="ego_ro_cross"
+        )(ego_f, ro_f, ro_mask)[:, 0]
+        ego_rg = CrossAttentionLayer(
+            cfg.num_head, cfg.network_dim, dtype=D, name="ego_rg_cross"
+        )(ego_f, rg_f, rg_mask)[:, 0]
         context = jnp.concatenate([ego_f[:, 0], ego_ro, ego_rg], axis=-1)
+        # Fused per-modality tokens for linear probing / intervention
+        # analysis (reference: intervention.py:101 hooks ro_attn layers).
+        self.sow("intermediates", "ego_token", ego_f[:, 0])
+        self.sow("intermediates", "ro_tokens", ro_f)
 
         means, variances, weights = GMMHead(cfg)(context)
         if cfg.use_tom:

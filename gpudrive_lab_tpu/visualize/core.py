@@ -168,6 +168,187 @@ class MatplotlibVisualizer:
                 outs.append(img_from_fig(fig))
         return outs
 
+    def plot_importance_weight(
+        self,
+        state: SimState,
+        env_idx: int,
+        importance: np.ndarray,
+        ego_agent: int,
+        zoom_radius: Optional[float] = None,
+        figsize=(8, 8),
+    ):
+        """Per-head figures with partner boxes colored by ego->partner
+        attention (reference: visualize/core.py:1641-1734
+        _plot_importance_weight + plot_bar_plot inset).
+
+        importance: [H, A-1] per-head attention over the ego's partner obs
+        slots (il.analysis collects it).  Returns a list of RGB arrays, one
+        per head."""
+        from matplotlib import cm
+
+        from gpudrive_lab_tpu.il.analysis import partner_slot_map
+
+        pos = np.asarray(state.pos)
+        yaw = np.asarray(state.yaw)
+        A = pos.shape[1]
+        slots = partner_slot_map(A)[ego_agent]  # [A-1] agent idx per slot
+        valid = self._agents["valid"][env_idx][slots]
+        live = valid & (pos[env_idx, slots, 0] > -10000)
+
+        outs = []
+        for h in range(importance.shape[0]):
+            fig, ax = plt.subplots(figsize=figsize)
+            ax.set_aspect("equal")
+            ax.set_axis_off()
+            self._plot_roads(ax, env_idx)
+            # ego box in red
+            size = self._agents["size"][env_idx, ego_agent]
+            plot_bounding_box(
+                ax, *pos[env_idx, ego_agent], yaw[env_idx, ego_agent],
+                size[0] * C.VEHICLE_LENGTH_SCALE,
+                size[1] * C.VEHICLE_LENGTH_SCALE, "#d7191c",
+            )
+            w = importance[h][live]
+            span = w.max() - w.min()
+            score = (w - w.min()) / span if span > 1e-6 else np.zeros_like(w)
+            colors = cm.viridis(score)[:, :3]
+            for color, slot_agent in zip(colors, slots[live]):
+                s = self._agents["size"][env_idx, slot_agent]
+                plot_bounding_box(
+                    ax, *pos[env_idx, slot_agent], yaw[env_idx, slot_agent],
+                    s[0] * C.VEHICLE_LENGTH_SCALE,
+                    s[1] * C.VEHICLE_LENGTH_SCALE, tuple(color),
+                )
+            # attention bar inset (reference utils.plot_bar_plot)
+            if w.size:
+                inset = fig.add_axes([0.72, 0.74, 0.24, 0.22])
+                inset.bar(np.arange(w.size), np.sort(w)[::-1],
+                          color="#2b83ba")
+                inset.set_title(f"head {h} attention", fontsize=7)
+                inset.tick_params(labelsize=5)
+            if zoom_radius is not None:
+                cx, cy = pos[env_idx, ego_agent]
+                ax.set_xlim(cx - zoom_radius, cx + zoom_radius)
+                ax.set_ylim(cy - zoom_radius, cy + zoom_radius)
+            else:
+                ax.autoscale_view()
+            outs.append(img_from_fig(fig))
+        return outs
+
+    def plot_linear_probing(
+        self,
+        state: SimState,
+        env_idx: int,
+        ego_agent: int,
+        ego_pred: Sequence[int],
+        ego_pred_prime: Sequence[int],
+        partner_pred: Sequence[int],
+        partner_log_cells: Optional[Sequence[int]] = None,
+        figsize=(8, 8),
+    ):
+        """Ego-centered probe grid with predicted future-cell paths
+        (reference: visualize/core.py:1736-1873 _plot_linear_probing):
+        dashed numbered 8x8 grid around the ego, dashed ego path over the
+        probe horizons, dotted intervened-ego path, dashed partner path,
+        solid logged-partner path when labels are given.  Returns an RGB
+        array."""
+        from gpudrive_lab_tpu.il.analysis import (
+            GRID_CORNER_LINES,
+            GRID_EXTENT,
+            cell_centers_ego_frame,
+        )
+
+        pos = np.asarray(state.pos)
+        yaw = np.asarray(state.yaw)
+        fig, ax = plt.subplots(figsize=figsize)
+        ax.set_aspect("equal")
+        ax.set_axis_off()
+        self._plot_roads(ax, env_idx)
+        ex, ey = pos[env_idx, ego_agent]
+        eyaw = float(yaw[env_idx, ego_agent])
+        c, s = np.cos(eyaw), np.sin(eyaw)
+        R = np.array([[c, -s], [s, c]])  # ego->world
+
+        corners = np.linspace(-GRID_EXTENT, GRID_EXTENT, GRID_CORNER_LINES)
+        gx, gy = np.meshgrid(corners, corners)
+        pts = R @ np.stack([gx.ravel(), gy.ravel()])
+        wx = pts[0].reshape(gx.shape) + ex
+        wy = pts[1].reshape(gy.shape) + ey
+        for i in range(GRID_CORNER_LINES):
+            ax.plot(wx[i], wy[i], color="black", ls="--", lw=0.7, zorder=3)
+            ax.plot(wx[:, i], wy[:, i], color="black", ls="--", lw=0.7,
+                    zorder=3)
+        side = GRID_CORNER_LINES - 1
+        for r_i in range(side):
+            for c_i in range(side):
+                ax.text(wx[r_i, c_i], wy[r_i, c_i], str(r_i * side + c_i),
+                        fontsize=6, color="black", zorder=3)
+
+        centers = cell_centers_ego_frame()  # [cells, 2] ego frame
+
+        def to_world(cells):
+            p = centers[np.asarray(cells, int)]
+            return (R @ p.T).T + np.array([ex, ey])
+
+        for cells, style, color in (
+            (ego_pred, "--", "#d7191c"),
+            (ego_pred_prime, ":", "#d7191c"),
+            (partner_pred, "--", "#2b83ba"),
+        ):
+            if len(cells):
+                p = to_world(cells)
+                ax.plot(p[:, 0], p[:, 1], ls=style, color=color, lw=2,
+                        zorder=4)
+        if partner_log_cells is not None and len(partner_log_cells):
+            p = to_world(partner_log_cells)
+            ax.plot(p[:, 0], p[:, 1], ls="-", color="#2b83ba", lw=2,
+                    zorder=4)
+
+        size = self._agents["size"][env_idx, ego_agent]
+        plot_bounding_box(
+            ax, ex, ey, eyaw,
+            size[0] * C.VEHICLE_LENGTH_SCALE,
+            size[1] * C.VEHICLE_LENGTH_SCALE, "#d7191c",
+        )
+        ax.set_xlim(ex - GRID_EXTENT * 1.2, ex + GRID_EXTENT * 1.2)
+        ax.set_ylim(ey - GRID_EXTENT * 1.2, ey + GRID_EXTENT * 1.2)
+        return img_from_fig(fig)
+
+    def plot_log_replay_comparison(
+        self,
+        positions: np.ndarray,
+        env_idx: int,
+        agent_indices: Optional[Sequence[int]] = None,
+        figsize=(8, 8),
+    ):
+        """Rollout trajectories (solid) against the logged expert
+        trajectories (dashed) for the selected agents (the reference's
+        log-replay comparison overlays).  positions: [T, W, A, 2] rollout
+        position history.  Returns an RGB array."""
+        fig, ax = plt.subplots(figsize=figsize)
+        ax.set_aspect("equal")
+        ax.set_axis_off()
+        self._plot_roads(ax, env_idx)
+        valid = self._agents["valid"][env_idx]
+        if agent_indices is None:
+            agent_indices = np.nonzero(
+                valid & self._agents["controlled"][env_idx]
+            )[0]
+        for j, i in enumerate(agent_indices):
+            color = POLICY_COLORS[j % len(POLICY_COLORS)]
+            tv = self._agents["traj_valid"][env_idx, i] > 0
+            tp = self._agents["traj_pos"][env_idx, i][tv]
+            if len(tp):
+                ax.plot(tp[:, 0], tp[:, 1], ls="--", color=color, lw=1.0,
+                        alpha=0.7, label=f"agent {i} log" if j < 6 else None)
+            rp = positions[:, env_idx, i]
+            live = rp[:, 0] > -10000
+            ax.plot(rp[live, 0], rp[live, 1], ls="-", color=color, lw=1.2,
+                    label=f"agent {i} policy" if j < 6 else None)
+        ax.legend(fontsize=6, loc="upper right")
+        ax.autoscale_view()
+        return img_from_fig(fig)
+
     def plot_agent_observation(
         self,
         state: SimState,
