@@ -47,10 +47,13 @@ class SB3MultiAgentEnv:
         self.flat_ids = np.nonzero(self.controlled_mask.reshape(-1))[0]
 
     def _obs(self) -> np.ndarray:
-        """nan-padded [num_envs, obs_dim] buffer
+        """[num_envs, obs_dim] buffer with dead agents' rows nan-padded so
+        downstream consumers can't silently train on stale observations
         (reference: sb3_wrapper.py:116-150)."""
-        o = np.asarray(self.env.get_obs()).reshape(-1, self.obs_dim)
-        return o[self.flat_ids]
+        o = np.array(np.asarray(self.env.get_obs()).reshape(-1, self.obs_dim))
+        o = o[self.flat_ids]
+        o[self.dead_agent_mask] = np.nan
+        return o
 
     def reset(self, seed=None):
         self.env.reset()
