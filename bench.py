@@ -72,7 +72,7 @@ def bench_train(args):
         num_minibatches=args.num_minibatches,
     )
     policy, variables, opt_state, carry, fresh, train_fn = build_trainer(
-        env, ppo_cfg, seed=0, rollout_mode="loop",
+        env, ppo_cfg, seed=0, rollout_mode=args.rollout_mode,
     )
     iters = 2 if args.smoke else args.train_iters
 
@@ -158,6 +158,11 @@ def main():
     p.add_argument("--num-minibatches", type=int, default=16,
                    help="PPO minibatches per epoch (--train); 16 keeps the "
                         "obs-rematerialization slices small")
+    p.add_argument("--rollout-mode", choices=["scan", "loop", "dispatch"],
+                   default="dispatch",
+                   help="'dispatch' re-dispatches one small jitted "
+                        "minibatch program instead of compiling the whole "
+                        "scanned update (minutes of XLA on the tunnel)")
     args = p.parse_args()
 
     import jax

@@ -385,9 +385,107 @@ def make_ppo_funcs(
             scene, variables, opt_state, carry, traj, reward_weights
         )
 
+    # ---- fully-dispatched mode: the minibatch loop is python too ---------
+    # The scan-based update compiles epochs x minibatches of obs-remat +
+    # fwd/bwd into ONE program — minutes of XLA time on the remote runtime.
+    # Here one small per-minibatch program compiles once and is re-dispatched
+    # E*M times per iteration (benchmark doctrine: CLAUDE.md, scanned bodies
+    # execute poorly over the tunnel).
+
+    def _prepare_batch(scene, variables, carry, traj, reward_weights):
+        last_obs, _, _ = flat_observation(
+            scene, carry.state, params, spec, reward_weights
+        )
+        _, last_value = policy.apply(variables, last_obs)
+        advs, rets = gae(traj, last_value)
+        batch = {
+            "action": traj.action,
+            "logprob": traj.logprob,
+            "value": traj.value,
+            "adv": advs,
+            "ret": rets,
+            "mask": traj.mask,
+        }
+        if not config.remat_obs:
+            batch["obs"] = traj.obs
+        n_ep = jnp.maximum(traj.ep_done.sum(), 1)
+        base = {
+            "mean_reward": (traj.reward * traj.mask).sum()
+            / jnp.maximum(traj.mask.sum(), 1),
+            "samples": traj.mask.sum(),
+            "episodes": traj.ep_done.sum(),
+            "perc_goal_achieved": traj.ep_goal.sum() / n_ep,
+            "perc_collisions": traj.ep_collided.sum() / n_ep,
+            "perc_off_road": traj.ep_off_road.sum() / n_ep,
+        }
+        return batch, base
+
+    prepare_jit = jax.jit(_prepare_batch)
+
+    def _mb_update(variables, opt_state, batch, env_state, mb_idx, rng,
+                   scene, reward_weights):
+        take = lambda x: jnp.take(x, mb_idx, axis=0).reshape(
+            (-1,) + x.shape[3:]
+        )
+        mb = {k: take(v) for k, v in batch.items()}
+        if config.remat_obs:
+            mb["obs_state"] = jax.tree.map(
+                lambda x: jnp.take(x, mb_idx, axis=0), env_state
+            )
+        (loss, aux), grads = grad_fn(variables, mb, rng, scene,
+                                     reward_weights)
+        updates, opt_state = tx.update(grads, opt_state, variables)
+        variables = optax.apply_updates(variables, updates)
+        return variables, opt_state, aux
+
+    mb_update_jit = jax.jit(_mb_update, donate_argnums=(0, 1))
+
+    @jax.jit
+    def _perms_and_keys(rng):
+        """All epoch permutations + minibatch keys in ONE dispatch (eager
+        per-minibatch fold_in would cost a tunnel round-trip each)."""
+        E, T, M = config.update_epochs, config.rollout_len, config.num_minibatches
+        rng_epochs, rng_next = jax.random.split(rng)
+        rngs = jax.random.split(rng_epochs, E)
+        perms = jnp.stack(
+            [jax.random.permutation(r, T) for r in rngs]
+        ).reshape(E, M, T // M)
+        keys = jax.vmap(lambda r: jax.random.split(r, M))(rngs)  # [E, M, 2]
+        return perms, keys, rng_next
+
+    def train_step_dispatch(scene, variables, opt_state, carry: EnvCarry,
+                            fresh: SimState, reward_weights):
+        """Everything python-dispatched: rollout step-by-step, then E*M
+        re-dispatches of the per-minibatch update program."""
+        import numpy as np
+
+        carry, traj = collect_rollout_loop(
+            scene, variables, carry, fresh, reward_weights
+        )
+        batch, base = prepare_jit(scene, variables, carry, traj,
+                                  reward_weights)
+        perms, keys, rng_next = _perms_and_keys(carry.rng)
+        perms = np.asarray(perms)
+        keys = np.asarray(keys)
+        carry = carry._replace(rng=rng_next)
+        auxes = []
+        for e in range(config.update_epochs):
+            for m in range(config.num_minibatches):
+                variables, opt_state, aux = mb_update_jit(
+                    variables, opt_state, batch, traj.env_state,
+                    perms[e, m], keys[e, m], scene, reward_weights,
+                )
+                auxes.append(aux)
+        metrics = {
+            k: float(np.mean([np.asarray(a[k]) for a in auxes]))
+            for k in auxes[0]
+        }
+        metrics.update(base)
+        return variables, opt_state, carry, metrics
+
     def init_fn(rng, scene, example_obs):
         variables = policy.init(rng, example_obs)
         opt_state = tx.init(variables)
         return variables, opt_state
 
-    return init_fn, train_step, train_step_loop
+    return init_fn, train_step, train_step_loop, train_step_dispatch

@@ -38,13 +38,15 @@ def build_trainer(env: GPUDriveTPUEnv, ppo_config: PPOConfig,
     """Returns (policy, variables, opt_state, carry, fresh, train_fn).
 
     rollout_mode 'scan' jits the whole iteration; 'loop' python-dispatches
-    the rollout step (faster on remote TPU runtimes where lax.scan bodies
-    execute poorly)."""
+    the rollout step but keeps the scanned update; 'dispatch' python-
+    dispatches the minibatch loop too (fastest on remote TPU runtimes where
+    lax.scan bodies execute poorly and giant update programs take minutes
+    of XLA time)."""
     policy_config = policy_config or PolicyConfig(
         action_dim=env.action_space_n
     )
     policy = LateFusionPolicy(policy_config)
-    init_fn, train_step, train_step_loop = make_ppo_funcs(
+    init_fn, train_step, train_step_loop, train_step_dispatch = make_ppo_funcs(
         policy,
         env.params,
         env.spec,
@@ -63,7 +65,9 @@ def build_trainer(env: GPUDriveTPUEnv, ppo_config: PPOConfig,
         world_time_steps=jnp.zeros(env.num_worlds, jnp.int32),
         rng=rng,
     )
-    if rollout_mode == "loop":
+    if rollout_mode == "dispatch":
+        train_fn = train_step_dispatch
+    elif rollout_mode == "loop":
         train_fn = train_step_loop
     else:
         # Donate params/opt/carry buffers (carry holds a copy of `fresh`,
@@ -87,7 +91,7 @@ def main():
     p.add_argument("--continue-training", action="store_true",
                    help="resume from <checkpoint-path>/policy.pkl "
                         "(reference: ppo_pufferlib.py:52-70)")
-    p.add_argument("--rollout-mode", choices=["scan", "loop"], default="scan")
+    p.add_argument("--rollout-mode", choices=["scan", "loop", "dispatch"], default="scan")
     args = p.parse_args()
 
     loader = SceneDataLoader(

@@ -74,6 +74,28 @@ def test_remat_obs_matches_stored_obs(trainer):
     )
 
 
+def test_dispatch_mode_matches_loop_mode(trainer):
+    """The fully python-dispatched update (one re-dispatched minibatch
+    program) must produce the same params as the scanned update: identical
+    permutations derive from the same rng split, and the per-minibatch rng
+    is unused when actions are given."""
+    env, _ = trainer
+    results = []
+    for mode in ("loop", "dispatch"):
+        _, variables, opt_state, carry, fresh, train_fn = build_trainer(
+            env, PPOConfig(rollout_len=8, num_minibatches=2), seed=11,
+            rollout_mode=mode,
+        )
+        variables, opt_state, carry, metrics = train_fn(
+            env.scene, variables, opt_state, carry, fresh, env.reward_weights
+        )
+        results.append(jax.tree.leaves(variables))
+    for a, b in zip(*results):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5
+        )
+
+
 def test_gae_matches_numpy():
     from gpudrive_lab_tpu.networks.late_fusion import LateFusionPolicy, PolicyConfig
     from gpudrive_lab_tpu.ppo import ppo as ppomod
