@@ -646,6 +646,17 @@ class GPUDriveTPUEnv:
             self._bev_fn = jax.jit(bev_observation, static_argnames="params")
         return self._bev_fn(self.scene, self.state, self.params)
 
+    def get_camera_obs(self, camera_config=None):
+        """Per-agent camera tensors: (rgb [W, A, H, Wpx, 4] uint8,
+        depth [W, A, H, Wpx, 1] float32) — the batch-renderer equivalent
+        (reference: mgr.cpp:922-948 rgbTensor/depthTensor fed by the
+        madrona batch renderer)."""
+        from gpudrive_lab_tpu.core.render import CameraConfig, batch_render
+
+        if camera_config is None:
+            camera_config = CameraConfig()
+        return batch_render(self.scene, self.state, camera_config)
+
     # ----- log playback / experts ---------------------------------------
 
     def get_expert_actions(self):
