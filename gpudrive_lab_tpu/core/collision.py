@@ -222,8 +222,14 @@ def collision_system(
         score = jnp.where(pair_ok_ar, score, jnp.inf)
         if params.approx_top_k:
             # exact lax.top_k is a full sort on TPU — ~8x slower than the
-            # hardware approx_max_k at R=10k; recall loss is covered by the
-            # conservative score bound (hits rank far above the K-th cut)
+            # hardware approx_max_k at R=10k.  NOTE: approx_max_k bins the
+            # input and can drop a genuinely-overlapping segment that shares
+            # a reduction bin with a closer-scoring candidate, so this
+            # opt-in mode may RARELY miss a collision; the conservative
+            # score bound makes that unlikely (hits rank far above the K-th
+            # cut) but does not strictly prevent it.  Use the exact path
+            # (approx_top_k=False, bench --exact) when comparing collision
+            # counts for correctness; keep approx for throughput benching.
             _, cand = jax.lax.approx_max_k(-score, K, recall_target=0.99)
         else:
             _, cand = jax.lax.top_k(-score, K)  # [W, A, K]

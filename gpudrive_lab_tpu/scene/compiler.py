@@ -16,6 +16,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import warnings
 
 import jax.numpy as jnp
 import numpy as np
@@ -405,6 +406,13 @@ def build_scene(
     R = _bucket(max_roads, 256) if max_roads else _bucket(
         max(w.num_roads for w in worlds)
     )
+    if max_roads and R != max_roads:
+        warnings.warn(
+            f"max_roads={max_roads} raised to the lane-aligned bucket {R}; "
+            f"output road-array shapes use R={R} (extra entries are "
+            f"invalid-masked)",
+            stacklevel=2,
+        )
     if max(w.num_roads for w in worlds) > R:
         raise ValueError(
             f"max_roads={R} below batch requirement "
