@@ -230,7 +230,7 @@ def make_ppo_funcs(
             config.gamma, config.gae_lambda,
         )
 
-    def loss_fn(variables, mb, rng, scene, reward_weights):
+    def loss_fn(variables, mb, rng, scene, reward_weights, ent_coef):
         if config.remat_obs:
             # Rematerialize flat observations for this minibatch from the
             # stored SimStates ([Tm] time-sliced; vmap over the time axis).
@@ -279,7 +279,7 @@ def make_ppo_funcs(
             v_loss = (0.5 * (newvalue - mb["ret"]) ** 2 * m).sum() / msum
 
         ent_loss = (entropy * m).sum() / msum
-        loss = pg_loss - config.ent_coef * ent_loss + config.vf_coef * v_loss
+        loss = pg_loss - ent_coef * ent_loss + config.vf_coef * v_loss
         approx_kl = (((ratio - 1.0) - logratio) * m).sum() / msum
         return loss, {
             "pg_loss": pg_loss,
@@ -291,7 +291,7 @@ def make_ppo_funcs(
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def update(scene, variables, opt_state, carry: EnvCarry, traj,
-               reward_weights):
+               reward_weights, ent_coef):
         last_obs, _, _ = flat_observation(
             scene, carry.state, params, spec, reward_weights
         )
@@ -331,7 +331,7 @@ def make_ppo_funcs(
                     )
                 (loss, aux), grads = grad_fn(
                     variables, mb, jax.random.fold_in(rng_e, mb_idx[0]),
-                    scene, reward_weights,
+                    scene, reward_weights, ent_coef,
                 )
                 updates, opt_state = tx.update(grads, opt_state, variables)
                 variables = optax.apply_updates(variables, updates)
@@ -366,23 +366,31 @@ def make_ppo_funcs(
         return variables, opt_state, carry, metrics
 
     def train_step(scene, variables, opt_state, carry: EnvCarry,
-                   fresh: SimState, reward_weights):
+                   fresh: SimState, reward_weights, ent_coef=None):
         """Fully-jittable iteration: scanned rollout + update (jit the whole
-        thing on backends where lax.scan performs well)."""
+        thing on backends where lax.scan performs well).  ``ent_coef``
+        optionally overrides the config value at runtime (a traced scalar —
+        entropy-floor scheduling without recompiles)."""
+        if ent_coef is None:
+            ent_coef = jnp.float32(config.ent_coef)
         carry, traj = rollout(scene, variables, carry, fresh, reward_weights)
-        return update(scene, variables, opt_state, carry, traj, reward_weights)
+        return update(scene, variables, opt_state, carry, traj,
+                      reward_weights, ent_coef)
 
     update_jit = jax.jit(update)
 
     def train_step_loop(scene, variables, opt_state, carry: EnvCarry,
-                        fresh: SimState, reward_weights):
+                        fresh: SimState, reward_weights, ent_coef=None):
         """Python-dispatch rollout + jitted update: use when the backend
         executes scanned bodies poorly (e.g. remote TPU runtimes)."""
+        if ent_coef is None:
+            ent_coef = jnp.float32(config.ent_coef)
         carry, traj = collect_rollout_loop(
             scene, variables, carry, fresh, reward_weights
         )
         return update_jit(
-            scene, variables, opt_state, carry, traj, reward_weights
+            scene, variables, opt_state, carry, traj, reward_weights,
+            ent_coef,
         )
 
     # ---- fully-dispatched mode: the minibatch loop is python too ---------
@@ -423,7 +431,7 @@ def make_ppo_funcs(
     prepare_jit = jax.jit(_prepare_batch)
 
     def _mb_update(variables, opt_state, batch, env_state, mb_idx, rng,
-                   scene, reward_weights):
+                   scene, reward_weights, ent_coef):
         take = lambda x: jnp.take(x, mb_idx, axis=0).reshape(
             (-1,) + x.shape[3:]
         )
@@ -433,7 +441,7 @@ def make_ppo_funcs(
                 lambda x: jnp.take(x, mb_idx, axis=0), env_state
             )
         (loss, aux), grads = grad_fn(variables, mb, rng, scene,
-                                     reward_weights)
+                                     reward_weights, ent_coef)
         updates, opt_state = tx.update(grads, opt_state, variables)
         variables = optax.apply_updates(variables, updates)
         return variables, opt_state, aux
@@ -454,11 +462,13 @@ def make_ppo_funcs(
         return perms, keys, rng_next
 
     def train_step_dispatch(scene, variables, opt_state, carry: EnvCarry,
-                            fresh: SimState, reward_weights):
+                            fresh: SimState, reward_weights, ent_coef=None):
         """Everything python-dispatched: rollout step-by-step, then E*M
         re-dispatches of the per-minibatch update program."""
         import numpy as np
 
+        if ent_coef is None:
+            ent_coef = jnp.float32(config.ent_coef)
         carry, traj = collect_rollout_loop(
             scene, variables, carry, fresh, reward_weights
         )
@@ -474,6 +484,7 @@ def make_ppo_funcs(
                 variables, opt_state, aux = mb_update_jit(
                     variables, opt_state, batch, traj.env_state,
                     perms[e, m], keys[e, m], scene, reward_weights,
+                    ent_coef,
                 )
                 auxes.append(aux)
         metrics = {

@@ -92,6 +92,14 @@ def main():
                    help="resume from <checkpoint-path>/policy.pkl "
                         "(reference: ppo_pufferlib.py:52-70)")
     p.add_argument("--rollout-mode", choices=["scan", "loop", "dispatch"], default="scan")
+    p.add_argument("--ent-coef", type=float, default=1e-4)
+    p.add_argument("--entropy-floor", type=float, default=0.0,
+                   help="adaptive entropy control: when measured policy "
+                        "entropy falls below this floor the entropy "
+                        "coefficient is raised (x1.5), and relaxed back "
+                        "toward --ent-coef above 2x the floor; 0 disables "
+                        "(fixes the collapse seen in short runs)")
+    p.add_argument("--num-minibatches", type=int, default=4)
     args = p.parse_args()
 
     loader = SceneDataLoader(
@@ -111,7 +119,9 @@ def main():
         collision_behavior="ignore",
     )
     env = GPUDriveTPUEnv(cfg, data_loader=loader)
-    ppo_cfg = PPOConfig(rollout_len=args.rollout_len)
+    ppo_cfg = PPOConfig(rollout_len=args.rollout_len,
+                        num_minibatches=args.num_minibatches,
+                        ent_coef=args.ent_coef)
     policy, variables, opt_state, carry, fresh, train_fn = build_trainer(
         env, ppo_cfg, seed=args.seed, rollout_mode=args.rollout_mode
     )
@@ -140,6 +150,7 @@ def main():
     global_step = start_step
     iteration = 0
     resampled_at = start_step
+    ent_coef = args.ent_coef
     try:
         while global_step < args.total_timesteps:
             if (
@@ -162,9 +173,17 @@ def main():
             with profile.phase("learn"):
                 variables, opt_state, carry, metrics = train_fn(
                     env.scene, variables, opt_state, carry, fresh,
-                    env.reward_weights,
+                    env.reward_weights, jnp.float32(ent_coef),
                 )
                 m = {k: float(np.asarray(v)) for k, v in metrics.items()}
+            if args.entropy_floor > 0.0:
+                # entropy-floor controller: multiplicative push-back when
+                # the policy collapses, slow relaxation when healthy
+                if m["entropy"] < args.entropy_floor:
+                    ent_coef = min(ent_coef * 1.5, 0.1)
+                elif m["entropy"] > 2.0 * args.entropy_floor:
+                    ent_coef = max(ent_coef / 1.2, args.ent_coef)
+                m["ent_coef"] = ent_coef
             samples = int(m.pop("samples"))
             global_step += samples
             profile.account(
