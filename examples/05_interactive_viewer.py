@@ -50,6 +50,17 @@ class KeyboardController:
         self.env.step_dynamics(self.actions_for_key(key))
         return np.asarray(self.env.state.pos)[0, self.agent_idx]
 
+    def replay_step(self):
+        """Advance one step with EVERY agent following the logged expert
+        (the madrona viewer's replay-log playback, viewer.cpp record/replay;
+        the focused agent included)."""
+        t = int(np.asarray(self.env.world_time_steps)[0])
+        expert_actions, _, _, _, _ = self.env.get_expert_actions()
+        from gpudrive_lab_tpu.env.env_jax import _slice_t
+
+        self.env.step_dynamics(_slice_t(expert_actions, t))
+        return np.asarray(self.env.state.pos)[0, self.agent_idx]
+
 
 def main():
     p = argparse.ArgumentParser()
@@ -78,7 +89,7 @@ def main():
         ax.imshow(img)
         ax.set_title(
             f"agent {ctl.agent_idx} — WASD/arrows drive, n: next agent, "
-            "q: quit"
+            "p: replay-log step, q: quit"
         )
         ax.set_axis_off()
         fig.canvas.draw_idle()
@@ -89,6 +100,8 @@ def main():
             return
         if event.key == "n":
             ctl.next_agent()
+        elif event.key == "p":
+            ctl.replay_step()
         else:
             ctl.step(event.key or "")
         redraw()

@@ -315,8 +315,10 @@ class GPUDriveTPUEnv:
         data_loader: Optional[SceneDataLoader] = None,
         scene_paths: Optional[List[str]] = None,
         max_roads: Optional[int] = None,
+        render_config=None,
     ):
         self.config = config
+        self.render_config = render_config
         self.params = config.sim_params()
         self.data_loader = data_loader
         if scene_paths is None:
@@ -737,7 +739,7 @@ class GPUDriveTPUEnv:
         if getattr(self, "_vis", None) is None or self._vis.scene is not self.scene:
             from gpudrive_lab_tpu.visualize.core import MatplotlibVisualizer
 
-            self._vis = MatplotlibVisualizer(self.scene)
+            self._vis = MatplotlibVisualizer(self.scene, self.render_config)
         return self._vis
 
     def render(self, env_idx: int = 0, zoom_radius: float | None = None):

@@ -88,6 +88,62 @@ class MatplotlibVisualizer:
                         alpha=0.35, zorder=1,
                     )
 
+    def _plot_roads_3d(self, ax, w: int):
+        """Road graph as ground-plane 3-D line segments with a per-type
+        gradient (reference: visualize/core.py:371-406 Line3DCollection)."""
+        from mpl_toolkits.mplot3d.art3d import Line3DCollection
+
+        r = self._roads
+        valid = r["valid"][w]
+        pos = r["pos"][w][valid]
+        yaw = r["yaw"][w][valid]
+        scale = r["scale"][w][valid]
+        etype = r["etype"][w][valid]
+        for t in np.unique(etype):
+            if t not in (C.ET_ROAD_EDGE, C.ET_ROAD_LINE, C.ET_ROAD_LANE):
+                continue
+            m = etype == t
+            dx = scale[m, 0] * np.cos(yaw[m])
+            dy = scale[m, 0] * np.sin(yaw[m])
+            z = np.zeros(m.sum())
+            segs = np.stack(
+                [
+                    np.stack([pos[m, 0] - dx, pos[m, 1] - dy, z], -1),
+                    np.stack([pos[m, 0] + dx, pos[m, 1] + dy, z], -1),
+                ],
+                axis=1,
+            )
+            color = ROAD_GRAPH_COLORS.get(int(t), "#cccccc")
+            lw = 1.0 if t == C.ET_ROAD_EDGE else 0.4
+            ax.add_collection3d(
+                Line3DCollection(segs, colors=color, linewidths=lw)
+            )
+
+    @staticmethod
+    def _agent_box_3d(ax, x, y, yaw, length, width, height, color):
+        """One oriented 3-D vehicle box (Poly3DCollection of 6 faces;
+        reference render_3d agent drawing)."""
+        from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+
+        c, s = np.cos(yaw), np.sin(yaw)
+        hx, hy = length / 2, width / 2
+        corners = np.array(
+            [[hx, hy], [hx, -hy], [-hx, -hy], [-hx, hy]]
+        ) @ np.array([[c, s], [-s, c]])
+        corners += (x, y)
+        lo = [(cx, cy, 0.0) for cx, cy in corners]
+        hi = [(cx, cy, height) for cx, cy in corners]
+        faces = [lo, hi] + [
+            [lo[i], lo[(i + 1) % 4], hi[(i + 1) % 4], hi[i]]
+            for i in range(4)
+        ]
+        ax.add_collection3d(
+            Poly3DCollection(
+                faces, facecolors=color, edgecolors="black",
+                linewidths=0.3, alpha=0.9,
+            )
+        )
+
     def _agent_color(self, w: int, i: int, state: Optional[SimState],
                      policy_masks=None):
         if policy_masks is not None:
@@ -116,17 +172,26 @@ class MatplotlibVisualizer:
         return_single_figure: bool = False,
         figsize=(8, 8),
     ):
-        """Top-down views of selected worlds
-        (reference: visualize/core.py:105-1400).  Returns a list of RGB
-        arrays (or matplotlib figures when return_single_figure)."""
+        """Top-down views of selected worlds; 3-D perspective when the
+        vis config sets ``render_3d`` (reference: visualize/core.py:105-1400,
+        3-D branch :274-475).  Returns a list of RGB arrays (or matplotlib
+        figures when return_single_figure)."""
+        render_3d = bool(getattr(self.config, "render_3d", False))
+        veh_height = float(getattr(self.config, "vehicle_height", 0.06) or 0.06)
         pos = np.asarray(state.pos)
         yaw = np.asarray(state.yaw)
         outs = []
         for w in env_indices:
-            fig, ax = plt.subplots(figsize=figsize)
-            ax.set_aspect("equal")
-            ax.set_axis_off()
-            self._plot_roads(ax, w)
+            if render_3d:
+                fig = plt.figure(figsize=figsize)
+                ax = fig.add_subplot(projection="3d")
+                ax.set_axis_off()
+                self._plot_roads_3d(ax, w)
+            else:
+                fig, ax = plt.subplots(figsize=figsize)
+                ax.set_aspect("equal")
+                ax.set_axis_off()
+                self._plot_roads(ax, w)
             valid = self._agents["valid"][w]
             done = np.asarray(state.done)[w]
             for i in np.nonzero(valid)[0]:
@@ -134,21 +199,47 @@ class MatplotlibVisualizer:
                 if x < -10000:  # teleported-away padding position
                     continue
                 size = self._agents["size"][w, i]
-                plot_bounding_box(
-                    ax, x, y, yaw[w, i],
-                    size[0] * C.VEHICLE_LENGTH_SCALE,
-                    size[1] * C.VEHICLE_LENGTH_SCALE,
-                    self._agent_color(w, i, state, policy_masks),
-                )
+                color = self._agent_color(w, i, state, policy_masks)
+                if render_3d:
+                    self._agent_box_3d(
+                        ax, x, y, yaw[w, i],
+                        size[0] * C.VEHICLE_LENGTH_SCALE,
+                        size[1] * C.VEHICLE_LENGTH_SCALE,
+                        max(size[0], 1.0) * veh_height * 30, color,
+                    )
+                else:
+                    plot_bounding_box(
+                        ax, x, y, yaw[w, i],
+                        size[0] * C.VEHICLE_LENGTH_SCALE,
+                        size[1] * C.VEHICLE_LENGTH_SCALE, color,
+                    )
                 if self._agents["controlled"][w, i]:
                     g = self._agents["goal"][w, i]
-                    ax.scatter(g[0], g[1], s=14, marker="*",
-                               color="#1a9641", zorder=2)
+                    if render_3d:
+                        ax.scatter(g[0], g[1], 0.0, s=14, marker="*",
+                                   color="#1a9641")
+                    else:
+                        ax.scatter(g[0], g[1], s=14, marker="*",
+                                   color="#1a9641", zorder=2)
                 if draw_expert_trajectories:
                     tv = self._agents["traj_valid"][w, i] > 0
                     tp = self._agents["traj_pos"][w, i][tv]
-                    ax.plot(tp[:, 0], tp[:, 1], color="#9e9e9e",
-                            linewidth=0.5, alpha=0.6, zorder=0)
+                    if render_3d:
+                        ax.plot(tp[:, 0], tp[:, 1], 0.05,
+                                color="#9e9e9e", linewidth=0.5, alpha=0.6)
+                    else:
+                        ax.plot(tp[:, 0], tp[:, 1], color="#9e9e9e",
+                                linewidth=0.5, alpha=0.6, zorder=0)
+            if render_3d:
+                live = valid & (pos[w, :, 0] > -10000)
+                cx, cy = (pos[w][live].mean(axis=0) if live.any()
+                          else (0.0, 0.0))
+                r3 = zoom_radius or 100.0
+                ax.set_xlim(cx - r3, cx + r3)
+                ax.set_ylim(cy - r3, cy + r3)
+                ax.set_zlim(0, r3 * 0.05)
+                outs.append(fig if return_single_figure else img_from_fig(fig))
+                continue
             if zoom_radius is not None:
                 ci = (center_agent_indices[list(env_indices).index(w)]
                       if center_agent_indices is not None else None)

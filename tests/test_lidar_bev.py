@@ -131,3 +131,29 @@ def test_bev_vehicle_cell_positions():
         axis=1,
     )
     assert d.max() < 4.0
+
+
+def test_render_3d_mode(example_scene_paths):
+    """render_3d vis config produces 3-D perspective frames
+    (reference: visualize/core.py 3-D branch)."""
+    import jax
+    import numpy as np
+
+    from gpudrive_lab_tpu.core import step as stepmod
+    from gpudrive_lab_tpu.env.config import EnvConfig, RenderConfig
+    from gpudrive_lab_tpu.env.env_jax import GPUDriveTPUEnv
+    from gpudrive_lab_tpu.visualize.core import MatplotlibVisualizer
+
+    env = GPUDriveTPUEnv(
+        EnvConfig(num_worlds=1, collision_behavior="ignore"),
+        scene_paths=example_scene_paths[:1],
+        render_config=RenderConfig(render_3d=True),
+    )
+    env.reset()
+    imgs = env.vis.plot_simulator_state(env.state, env_indices=[0],
+                                        zoom_radius=80.0)
+    assert len(imgs) == 1 and imgs[0].ndim == 3
+    # 2D still works on the same scene via an explicit visualizer
+    vis2d = MatplotlibVisualizer(env.scene)
+    img2d = vis2d.plot_simulator_state(env.state, env_indices=[0])[0]
+    assert img2d.ndim == 3
