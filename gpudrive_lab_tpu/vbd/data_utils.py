@@ -127,3 +127,88 @@ def _build_polylines(scene: Scene, cfg: VBDSampleConfig) -> np.ndarray:
             out[w, p, :n, 2] = yaw[w, m][sel]
             out[w, p, :n, 4] = etype[w, m][sel]
     return out
+
+
+def batched_relations(
+    agents_history: np.ndarray,
+    polylines: np.ndarray,
+    traffic_light_points: np.ndarray,
+) -> np.ndarray:
+    """[W, S, S, 3] pairwise token relations for the official encoder
+    (reference: integrations/vbd/data_utils.py:74-146 calculate_relations,
+    vectorized over the world batch).
+
+    Token order = [agents (last history frame), polylines (first point),
+    traffic lights]; each relation is the target's position in the source
+    token's local frame plus the wrapped heading difference.  Quirks kept:
+    traffic-light headings count as zero, diagonal entries are eps=0.01, and
+    any pair touching a token with x == 0 (padding) is zeroed.
+    """
+    W = agents_history.shape[0]
+    n_tl = traffic_light_points.shape[1]
+    elements = np.concatenate(
+        [
+            agents_history[:, :, -1, :3],
+            polylines[:, :, 0, :3],
+            np.concatenate(
+                [
+                    traffic_light_points[..., :2],
+                    np.zeros((W, n_tl, 1), np.float32),
+                ],
+                axis=-1,
+            ),
+        ],
+        axis=1,
+    )  # [W, S, 3]
+    S = elements.shape[1]
+    xy = elements[..., :2]
+    theta = elements[..., 2]
+    # source-minus-target, rotated into the SOURCE frame (the reference's
+    # convention: pos_diff[i, j] = pos[i] - pos[j])
+    diff = xy[:, :, None, :] - xy[:, None, :, :]  # [W, src, tgt, 2]
+    c = np.cos(theta)[:, :, None]
+    s = np.sin(theta)[:, :, None]
+    local_x = diff[..., 0] * c + diff[..., 1] * s
+    local_y = -diff[..., 0] * s + diff[..., 1] * c
+    dtheta = theta[:, :, None] - theta[:, None, :]
+    dtheta = (dtheta + np.pi) % (2 * np.pi) - np.pi
+    tl_start = S - n_tl
+    is_tl = np.arange(S) >= tl_start
+    dtheta = np.where(is_tl[None, :, None] | is_tl[None, None, :], 0.0, dtheta)
+
+    eye = np.eye(S, dtype=bool)[None]
+    eps = 0.01
+    local_x = np.where(eye, eps, local_x)
+    local_y = np.where(eye, eps, local_y)
+    dtheta = np.where(eye, eps, dtheta)
+
+    pad = elements[..., 0] == 0
+    zero = pad[:, :, None] | pad[:, None, :]
+    rel = np.stack([local_x, local_y, dtheta], axis=-1).astype(np.float32)
+    return np.where(zero[..., None], 0.0, rel)
+
+
+def official_inputs(
+    batch: dict,
+    num_traffic_lights: int = 16,
+    num_anchors: int = 64,
+) -> dict:
+    """Assemble the OfficialVBD input dict from ``process_scenario_data``
+    output.  The sim has no live traffic-light state, so TL tokens are
+    zero (fully masked, exactly how the reference feeds scenes without
+    lights); anchors are the zero placeholder the reference uses at sim
+    time (integrations/vbd/data_utils.py:403)."""
+    hist = batch["agents_history"]
+    W, N = hist.shape[:2]
+    poly = batch["polylines"]
+    tl = np.zeros((W, num_traffic_lights, 3), np.float32)
+    return {
+        "agents_history": hist,
+        "agents_type": batch["agents_type"].astype(np.int64),
+        "agents_interested": batch["agents_interested"],
+        "polylines": poly,
+        "polylines_valid": np.abs(poly).sum(axis=(2, 3)) > 0,
+        "traffic_light_points": tl,
+        "relations": batched_relations(hist, poly, tl),
+        "anchors": np.zeros((W, N, num_anchors, 2), np.float32),
+    }

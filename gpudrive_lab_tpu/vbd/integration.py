@@ -96,6 +96,68 @@ class VBDTrajectorySource:
         return jnp.asarray(full)
 
 
+class OfficialVBDSource:
+    """TrajectorySource backed by a RELEASED VBD checkpoint: load with
+    vbd.convert.load_vbd_checkpoint, then drop into
+    env.set_vbd_trajectories (reference: sim_agent/sim_actor.py — the
+    VBDTest actor pipeline)."""
+
+    def __init__(self, model, variables, config=None, seed: int = 0,
+                 scheduler=None):
+        from gpudrive_lab_tpu.vbd.model import DDPMScheduler
+
+        self.model = model
+        self.variables = variables
+        self.config = config or model.config
+        self.scheduler = scheduler or DDPMScheduler(
+            steps=self.config.diffusion_steps
+        )
+        self._rng = jax.random.PRNGKey(seed)
+
+    @classmethod
+    def from_checkpoint(cls, path: str, seed: int = 0):
+        from gpudrive_lab_tpu.vbd.convert import load_vbd_checkpoint
+
+        model, variables, config = load_vbd_checkpoint(path)
+        return cls(model, variables, config, seed=seed)
+
+    def __call__(self, scene: Scene, state: SimState) -> jnp.ndarray:
+        import numpy as np
+
+        from gpudrive_lab_tpu.vbd.data_utils import (
+            VBDSampleConfig,
+            official_inputs,
+            process_scenario_data,
+        )
+        from gpudrive_lab_tpu.vbd.model_official import sample_official
+
+        cfg = self.config
+        batch_np = process_scenario_data(
+            scene, state, current_step=0,
+            config=VBDSampleConfig(max_agents=cfg.agents_len),
+        )
+        inputs = {
+            k: jnp.asarray(v)
+            for k, v in official_inputs(batch_np).items()
+        }
+        self._rng, k = jax.random.split(self._rng)
+        out = sample_official(
+            self.model, self.variables, self.scheduler, inputs, k, cfg
+        )
+        trajs = np.asarray(out["denoised_trajs"])  # [W, N, F, 5]
+        W, A = state.pos.shape[:2]
+        T = C.TRAJECTORY_LEN
+        full = np.zeros((W, A, T, VBD_FEATURES), np.float32)
+        ids = batch_np["agents_id"]
+        F = min(cfg.future_len, T)
+        for w in range(W):
+            for k_, a in enumerate(ids[w][: cfg.agents_len]):
+                if a >= 0:
+                    full[w, a, :F] = trajs[w, k_, :F]
+                    full[w, a, F:] = trajs[w, k_, F - 1]
+        return jnp.asarray(full)
+
+
 @jax.jit
 def egocentric_vbd_obs(state: SimState, vbd_trajectories: jnp.ndarray):
     """Transform global [W, A, T, 5] predictions into each agent's frame and

@@ -559,6 +559,48 @@ class GoalPredictor(nn.Module):
         return actions, scores
 
 
+def sample_official(
+    model: "OfficialVBD",
+    variables,
+    scheduler,
+    inputs,
+    rng,
+    config: "OfficialVBDConfig" = None,
+):
+    """Reverse diffusion with the official checkpoint weights
+    (reference: sim_agent/sim_actor.py:100-160 inference loop: encode once,
+    then denoiser -> scheduler.step over all diffusion steps; the denoiser
+    predicts x0 in normalized action space).
+
+    Returns dict(denoised_actions [B, A, T, 2] unnormalized,
+    denoised_trajs [B, A, future_len, 5] global frame)."""
+    cfg = config or model.config
+    B = inputs["agents_history"].shape[0]
+    A, T = cfg.agents_len, cfg.seq_len
+
+    enc_fn = jax.jit(lambda v, i: model.apply(v, i, method="encode"))
+    den_fn = jax.jit(
+        lambda v, e, x, t: model.apply(v, e, x, t, method="denoise")
+    )
+    enc = enc_fn(variables, inputs)
+
+    rng, k = jax.random.split(rng)
+    x_t = jax.random.normal(k, (B, A, T, 2))
+    for step in reversed(range(cfg.diffusion_steps)):
+        t_arr = jnp.full((B, A), step, jnp.int32)
+        x0 = den_fn(variables, enc, x_t, t_arr)
+        rng, k = jax.random.split(rng)
+        x_t = scheduler.step(x0, x_t, jnp.int32(step), k)
+
+    mean = jnp.asarray(cfg.action_mean)
+    std = jnp.asarray(cfg.action_std)
+    actions = x_t * std + mean
+    current = enc["agents"][:, :A, -1, :5]
+    trajs = roll_out(current, actions, action_len=cfg.action_len,
+                     global_frame=True)
+    return {"denoised_actions": actions, "denoised_trajs": trajs}
+
+
 class OfficialVBD(nn.Module):
     """Encoder + Denoiser (+ GoalPredictor): VBD.py:16-130."""
 

@@ -214,3 +214,92 @@ def test_checkpoint_file_roundtrip(parity, tmp_path):
     assert len(a) == len(b)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_batched_relations_match_reference():
+    """batched_relations reproduces the reference's calculate_relations
+    per world (oracle extracted from the read-only reference source)."""
+    import ast
+
+    src_path = "/root/reference/gpudrive/integrations/vbd/data_utils.py"
+    if not os.path.exists(src_path):
+        pytest.skip("reference checkout not mounted")
+    tree = ast.parse(open(src_path).read())
+    wanted = {"wrap_to_pi", "calculate_relations"}
+    module = ast.Module(
+        body=[n for n in tree.body
+              if isinstance(n, ast.FunctionDef) and n.name in wanted],
+        type_ignores=[],
+    )
+    ns = {"np": np, "torch": torch}
+    exec(compile(module, src_path, "exec"), ns)
+
+    from gpudrive_lab_tpu.vbd.data_utils import batched_relations
+
+    rng = np.random.default_rng(3)
+    W, N, H, P, K, TL = 2, 3, 4, 5, 6, 2
+    hist = rng.normal(size=(W, N, H, 8)).astype(np.float32)
+    hist[0, -1] = 0.0  # padded agent
+    poly = rng.normal(size=(W, P, K, 5)).astype(np.float32)
+    poly[1, -1] = 0.0
+    tl = np.zeros((W, TL, 3), np.float32)
+    tl[:, 0, :2] = rng.normal(size=(W, 2))
+
+    got = batched_relations(hist, poly, tl)
+    for w in range(W):
+        want = ns["calculate_relations"](hist[w], poly[w], tl[w])
+        np.testing.assert_allclose(got[w], np.asarray(want), atol=1e-5)
+
+
+def test_official_sampler_and_source(example_scene_paths):
+    """Random-weight OfficialVBD drives the TrajectorySource protocol end to
+    end: scene -> official inputs -> reverse diffusion -> [W, A, T, 5]
+    global trajectories wired into env.set_vbd_trajectories."""
+    from gpudrive_lab_tpu.env.config import EnvConfig
+    from gpudrive_lab_tpu.env.dataset import SceneDataLoader
+    from gpudrive_lab_tpu.env.env_jax import GPUDriveTPUEnv
+    from gpudrive_lab_tpu.vbd.integration import OfficialVBDSource
+    from gpudrive_lab_tpu.vbd.model import DDPMScheduler
+    from gpudrive_lab_tpu.vbd.model_official import OfficialVBD
+
+    cfg = OfficialVBDConfig(
+        future_len=10, agents_len=4, action_len=5, diffusion_steps=3,
+        encoder_layers=1,
+    )
+    model = OfficialVBD(cfg, with_predictor=False)
+
+    loader = SceneDataLoader(
+        root=os.path.dirname(example_scene_paths[0]), batch_size=1,
+        dataset_size=1,
+    )
+    env = GPUDriveTPUEnv(
+        EnvConfig(num_worlds=1, collision_behavior="ignore"),
+        data_loader=loader,
+    )
+    env.reset()
+
+    from gpudrive_lab_tpu.vbd.data_utils import (
+        VBDSampleConfig,
+        official_inputs,
+        process_scenario_data,
+    )
+
+    batch = process_scenario_data(
+        env.scene, env.state, 0, VBDSampleConfig(max_agents=cfg.agents_len)
+    )
+    inputs = {k: jnp.asarray(v) for k, v in official_inputs(batch).items()}
+    variables = model.init(
+        jax.random.PRNGKey(0), inputs,
+        jnp.zeros((1, cfg.agents_len, cfg.seq_len, 2)),
+        jnp.zeros((1, cfg.agents_len), jnp.int32),
+    )
+
+    source = OfficialVBDSource(
+        model, variables, cfg, scheduler=DDPMScheduler(cfg.diffusion_steps)
+    )
+    trajs = source(env.scene, env.state)
+    W, A = np.asarray(env.state.pos).shape[:2]
+    assert trajs.shape == (W, A, 91, 5)
+    assert np.isfinite(np.asarray(trajs)).all()
+    env.set_vbd_trajectories(source)
+    assert env.vbd_trajectories.shape == (W, A, 91, 5)
