@@ -213,6 +213,13 @@ def make_ppo_funcs(
         body = rollout_body(scene, variables, carry, fresh, reward_weights)
         return body(carry, None)
 
+    # ONE jitted program for the final stack: eager jnp.stack per leaf would
+    # be ~45 separate dispatches on remote runtimes (measured: the dominant
+    # cost of the loop mode before this fix).
+    stack_transitions = jax.jit(
+        lambda ts: jax.tree.map(lambda *xs: jnp.stack(xs), *ts)
+    )
+
     def collect_rollout_loop(scene, variables, carry: EnvCarry,
                              fresh: SimState, reward_weights):
         ts = []
@@ -221,7 +228,7 @@ def make_ppo_funcs(
                 scene, variables, carry, fresh, reward_weights
             )
             ts.append(t)
-        traj = jax.tree.map(lambda *xs: jnp.stack(xs), *ts)
+        traj = stack_transitions(tuple(ts))
         return carry, traj
 
     def gae(traj, last_value):
@@ -448,6 +455,12 @@ def make_ppo_funcs(
 
     mb_update_jit = jax.jit(_mb_update, donate_argnums=(0, 1))
 
+    _agg_auxes = jax.jit(
+        lambda auxes: jax.tree.map(
+            lambda *xs: jnp.mean(jnp.stack(xs)), *auxes
+        )
+    )
+
     @jax.jit
     def _perms_and_keys(rng):
         """All epoch permutations + minibatch keys in ONE dispatch (eager
@@ -487,10 +500,10 @@ def make_ppo_funcs(
                     ent_coef,
                 )
                 auxes.append(aux)
-        metrics = {
-            k: float(np.mean([np.asarray(a[k]) for a in auxes]))
-            for k in auxes[0]
-        }
+        # ONE jitted aggregation + lazy device scalars: converting each aux
+        # scalar with np.asarray would be E*M*|aux| blocking round trips
+        # (measured: tens of seconds per iteration over the tunnel).
+        metrics = _agg_auxes(tuple(auxes))
         metrics.update(base)
         return variables, opt_state, carry, metrics
 

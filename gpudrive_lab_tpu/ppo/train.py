@@ -175,7 +175,9 @@ def main():
                     env.scene, variables, opt_state, carry, fresh,
                     env.reward_weights, jnp.float32(ent_coef),
                 )
-                m = {k: float(np.asarray(v)) for k, v in metrics.items()}
+                # ONE batched device->host fetch (per-key np.asarray would
+                # be |metrics| blocking round trips on remote runtimes)
+                m = {k: float(v) for k, v in jax.device_get(metrics).items()}
             if args.entropy_floor > 0.0:
                 # entropy-floor controller: multiplicative push-back when
                 # the policy collapses, slow relaxation when healthy
