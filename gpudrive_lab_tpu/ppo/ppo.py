@@ -61,7 +61,11 @@ class PPOConfig:
     # tensor dominates rollout memory ([T, W, A, 3368] f32 = 7 GB at
     # W=128, T=32 — an HBM OOM); the SimState is ~260x smaller and the obs
     # recompute is ~140 us/step.  Classic remat: trade FLOPs for HBM.
+    # Alternative when HBM allows: remat_obs=False + obs_store_dtype=
+    # "bfloat16" stores the obs tensor at half size and skips the
+    # update's epochs-many obs recomputes entirely.
     remat_obs: bool = True
+    obs_store_dtype: str = "float32"  # "bfloat16" halves rollout obs HBM
 
 
 class Transition(NamedTuple):
@@ -175,7 +179,8 @@ def make_ppo_funcs(
                 world_done, jnp.sum(x * controlled, axis=1) / n_ctrl, 0.0
             )
             t = Transition(
-                obs=None if config.remat_obs else obs,
+                obs=None if config.remat_obs
+                else obs.astype(config.obs_store_dtype),
                 action=a, logprob=logp, value=value, reward=reward,
                 done=done, mask=mask,
                 ep_done=world_done,
@@ -248,7 +253,7 @@ def make_ppo_funcs(
             )(mb["obs_state"])
             obs = obs.reshape((-1,) + obs.shape[3:])
         else:
-            obs = mb["obs"]
+            obs = mb["obs"].astype(jnp.float32)
         _, newlogp, entropy, newvalue = policy_forward(
             variables, obs, rng, action=mb["action"]
         )

@@ -74,6 +74,30 @@ def test_remat_obs_matches_stored_obs(trainer):
     )
 
 
+def test_bf16_stored_obs_close_to_f32(trainer):
+    """obs_store_dtype=bfloat16 (no remat) stays numerically close to the
+    f32 stored-obs path after one iteration."""
+    env, _ = trainer
+    results = []
+    for dtype in ("float32", "bfloat16"):
+        _, variables, opt_state, carry, fresh, train_fn = build_trainer(
+            env,
+            PPOConfig(rollout_len=8, num_minibatches=2, remat_obs=False,
+                      obs_store_dtype=dtype),
+            seed=5,
+        )
+        variables, opt_state, carry, metrics = train_fn(
+            env.scene, variables, opt_state, carry, fresh, env.reward_weights
+        )
+        results.append((jax.tree.leaves(variables), metrics))
+    (va, ma), (vb, mb) = results
+    for a, b in zip(va, vb):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-3, rtol=5e-2
+        )
+    assert np.isfinite(float(np.asarray(mb["pg_loss"])))
+
+
 def test_dispatch_mode_matches_loop_mode(trainer):
     """The fully python-dispatched update (one re-dispatched minibatch
     program) must produce the same params as the scanned update: identical
