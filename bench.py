@@ -70,6 +70,9 @@ def bench_train(args):
     ppo_cfg = PPOConfig(
         rollout_len=args.rollout_len,
         num_minibatches=args.num_minibatches,
+        remat_obs=args.obs_store == "remat",
+        obs_store_dtype="bfloat16" if args.obs_store == "bf16"
+        else "float32",
     )
     policy, variables, opt_state, carry, fresh, train_fn = build_trainer(
         env, ppo_cfg, seed=0, rollout_mode=args.rollout_mode,
@@ -158,6 +161,12 @@ def main():
     p.add_argument("--num-minibatches", type=int, default=16,
                    help="PPO minibatches per epoch (--train); 16 keeps the "
                         "obs-rematerialization slices small")
+    p.add_argument("--obs-store", choices=["remat", "f32", "bf16"],
+                   default="remat",
+                   help="rollout obs handling (--train): rematerialize from "
+                        "SimStates in the update, or store f32/bf16 obs "
+                        "(bf16 fits HBM at W=128 and skips the update's "
+                        "obs recompute)")
     p.add_argument("--rollout-mode", choices=["scan", "loop", "dispatch"],
                    default="dispatch",
                    help="'dispatch' re-dispatches one small jitted "
