@@ -73,6 +73,7 @@ def bench_train(args):
         remat_obs=args.obs_store == "remat",
         obs_store_dtype="bfloat16" if args.obs_store == "bf16"
         else "float32",
+        compact=args.compact,
     )
     policy, variables, opt_state, carry, fresh, train_fn = build_trainer(
         env, ppo_cfg, seed=0, rollout_mode=args.rollout_mode,
@@ -88,7 +89,11 @@ def bench_train(args):
                 env.reward_weights,
             )
             samples = samples + metrics["samples"]
-        jax.block_until_ready(samples)
+            # Serialize iterations: queueing several giant train programs
+            # lets their HLO temporaries coexist in HBM and faults the
+            # worker (observed at W=128); one block per iteration bounds
+            # in-flight memory at negligible timing cost.
+            jax.block_until_ready(samples)
         return variables, opt_state, carry, float(samples)
 
     variables, opt_state, carry, _ = run(
@@ -161,6 +166,10 @@ def main():
     p.add_argument("--num-minibatches", type=int, default=16,
                    help="PPO minibatches per epoch (--train); 16 keeps the "
                         "obs-rematerialization slices small")
+    p.add_argument("--compact", type=int, default=0,
+                   help="restrict the learner's obs/policy path to the "
+                        "first N controlled slots per world (0 = dense "
+                        "over all 128 padded slots)")
     p.add_argument("--obs-store", choices=["remat", "f32", "bf16"],
                    default="remat",
                    help="rollout obs handling (--train): rematerialize from "

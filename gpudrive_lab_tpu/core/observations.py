@@ -26,29 +26,46 @@ from gpudrive_lab_tpu.core.geometry import (
 from gpudrive_lab_tpu.core.types import Params, RoadObsAlgorithm, Scene, SimState
 
 
-def self_observation(scene: Scene, state: SimState) -> jnp.ndarray:
+def _ego_take(x: jnp.ndarray, ego_idx) -> jnp.ndarray:
+    """Gather ego rows: [W, A(, d...)] -> [W, C(, d...)] by [W, C] index
+    (identity when ego_idx is None).  The compaction hook: every observation
+    collector is a per-ego computation, so restricting the ego axis to the
+    controlled slots shrinks the whole obs/policy path by A/C."""
+    if ego_idx is None:
+        return x
+    idx = ego_idx.reshape(ego_idx.shape + (1,) * (x.ndim - 2))
+    return jnp.take_along_axis(x, idx.astype(jnp.int32), axis=1)
+
+
+def self_observation(
+    scene: Scene, state: SimState, ego_idx=None
+) -> jnp.ndarray:
     """[W, A, 8]: speed, size(3), ego-frame rel goal(2), collision, id
     (reference: src/sim.cpp:168-186; layout src/types.hpp:189-208).
-    Padding rows are SelfObservation::zero() (id = -1)."""
+    Padding rows are SelfObservation::zero() (id = -1).
+    ego_idx [W, C] restricts rows to the selected ego slots."""
     agents = scene.agents
-    speed = state.speed
-    rel_goal = rotate_into_frame(agents.goal - state.pos, state.yaw)
+    sel = lambda x: _ego_take(x, ego_idx)
+    speed = sel(state.speed)
+    rel_goal = rotate_into_frame(
+        sel(agents.goal) - sel(state.pos), sel(state.yaw)
+    )
     obs = jnp.concatenate(
         [
             speed[..., None],
-            agents.size,
+            sel(agents.size),
             rel_goal,
-            (state.collided != 0).astype(jnp.float32)[..., None],
-            agents.aid.astype(jnp.float32)[..., None],
+            (sel(state.collided) != 0).astype(jnp.float32)[..., None],
+            sel(agents.aid).astype(jnp.float32)[..., None],
         ],
         axis=-1,
     )
     zero = jnp.zeros_like(obs).at[..., 7].set(-1.0)
-    return jnp.where(agents.valid[..., None], obs, zero)
+    return jnp.where(sel(agents.valid)[..., None], obs, zero)
 
 
 def partner_observations(
-    scene: Scene, state: SimState, params: Params
+    scene: Scene, state: SimState, params: Params, ego_idx=None
 ) -> jnp.ndarray:
     """[W, A, A-1, 9]: speed, ego-frame rel pos(2), rel heading, size(3),
     type, id (reference: src/sim.cpp:188-240).  Out-of-radius partners are
@@ -58,17 +75,34 @@ def partner_observations(
     Implementation: per-agent scalars of the *other* agent are gathered
     through the static [A, A-1] "all-but-self" index map first, then the
     9-wide features are computed directly at the packed layout — no
-    [W, A, A, 9] intermediate (HBM traffic matters: this runs every step)."""
+    [W, A, A, 9] intermediate (HBM traffic matters: this runs every step).
+
+    ego_idx [W, C] restricts the EGO axis; partners still span all other
+    agents (slot k of ego i reads agent k + (k >= i))."""
     agents = scene.agents
     A = state.pos.shape[1]
+    esel = lambda x: _ego_take(x, ego_idx)
 
     # Slot k of ego i reads agent k + (k >= i)
     # (the OtherAgents wiring, src/level_gen.cpp:450-464).
     k = jnp.arange(A - 1)
-    src = k[None, :] + (k[None, :] >= jnp.arange(A)[:, None])  # [A, A-1]
+    if ego_idx is None:
+        src = k[None, :] + (k[None, :] >= jnp.arange(A)[:, None])  # [A, A-1]
 
-    def take(x):  # [W, A(, d)] -> [W, A, A-1(, d)]
-        return x[:, src]
+        def take(x):  # [W, A(, d)] -> [W, A, A-1(, d)]
+            return x[:, src]
+
+    else:
+        W, C = ego_idx.shape
+        src_w = (
+            k[None, None, :] + (k[None, None, :] >= ego_idx[..., None])
+        )  # [W, C, A-1]
+
+        def take(x):  # [W, A(, d)] -> [W, C, A-1(, d)]
+            flat = src_w.reshape(W, C * (A - 1))
+            idx = flat.reshape(flat.shape + (1,) * (x.ndim - 2))
+            out = jnp.take_along_axis(x, idx.astype(jnp.int32), axis=1)
+            return out.reshape((W, C, A - 1) + x.shape[2:])
 
     o_pos = take(state.pos)
     o_speed = take(state.speed)
@@ -78,10 +112,10 @@ def partner_observations(
     o_id = take(agents.aid).astype(jnp.float32)
 
     rel_ego = rotate_into_frame(
-        o_pos - state.pos[:, :, None, :], state.yaw[:, :, None]
+        o_pos - esel(state.pos)[:, :, None, :], esel(state.yaw)[:, :, None]
     )
     dist = jnp.linalg.norm(rel_ego, axis=-1)
-    rel_heading = quat_yaw_diff(state.yaw[:, :, None], o_yaw)
+    rel_heading = quat_yaw_diff(esel(state.yaw)[:, :, None], o_yaw)
 
     obs = jnp.concatenate(
         [
@@ -110,20 +144,24 @@ def partner_observations(
     obs = obs.at[..., 8].set(id_col)
 
     # Padded ego rows: PartnerObservation::zero() everywhere (id = -1).
-    ego_valid = agents.valid[:, :, None, None]
+    ego_valid = esel(agents.valid)[:, :, None, None]
     zero_row = jnp.zeros(9, jnp.float32).at[8].set(-1.0)
     return jnp.where(ego_valid, obs, zero_row)
 
 
-def _road_observation_features(scene: Scene, state: SimState) -> tuple:
+def _road_observation_features(
+    scene: Scene, state: SimState, ego_idx=None
+) -> tuple:
     """Ego-frame MapObservation features for all road entities:
     returns ([W, A, R, 9] features, [W, A, R] dist).  Layout: pos(2),
     scale(3), heading, type, id, mapType (src/types.hpp:210-234)."""
     roads = scene.roads
-    rel = roads.pos[:, None, :, 0:2] - state.pos[:, :, None, :]
-    rel_ego = rotate_into_frame(rel, state.yaw[:, :, None])
+    ego_pos = _ego_take(state.pos, ego_idx)
+    ego_yaw = _ego_take(state.yaw, ego_idx)
+    rel = roads.pos[:, None, :, 0:2] - ego_pos[:, :, None, :]
+    rel_ego = rotate_into_frame(rel, ego_yaw[:, :, None])
     dist = jnp.linalg.norm(rel_ego, axis=-1)
-    heading = quat_yaw_diff(state.yaw[:, :, None], roads.yaw[:, None, :])
+    heading = quat_yaw_diff(ego_yaw[:, :, None], roads.yaw[:, None, :])
     shape3 = rel_ego.shape[:3]
     feats = jnp.concatenate(
         [
@@ -146,9 +184,11 @@ def _road_observation_features(scene: Scene, state: SimState) -> tuple:
 
 
 def agent_map_observations(
-    scene: Scene, state: SimState, params: Params
+    scene: Scene, state: SimState, params: Params, ego_idx=None
 ) -> jnp.ndarray:
-    """[W, A, K, 9] ego-frame road observations.
+    """[W, A, K, 9] ego-frame road observations.  ego_idx [W, C] restricts
+    the ego axis (the [W, A, R] distance lattice — the expensive part —
+    shrinks to [W, C, R]).
 
     KNEAREST: K nearest road entities by ego distance, then radius filter and
     zero fill (reference: src/knn.hpp:103-158).  The reference's KNN filler
@@ -164,9 +204,12 @@ def agent_map_observations(
     K = C.MAX_AGENT_MAP_OBS
     roads = scene.roads
     road_valid = scene.roads.valid[:, None, :]
+    ego_pos = _ego_take(state.pos, ego_idx)
+    ego_yaw = _ego_take(state.yaw, ego_idx)
+    ego_valid = _ego_take(scene.agents.valid, ego_idx)
 
     if params.road_obs_algorithm == RoadObsAlgorithm.KNEAREST:
-        delta = roads.pos[:, None, :, 0:2] - state.pos[:, :, None, :]
+        delta = roads.pos[:, None, :, 0:2] - ego_pos[:, :, None, :]
         d2 = jnp.sum(delta * delta, axis=-1)  # [W, A, R]
         score = jnp.where(road_valid, d2, jnp.inf)
         # Fewer road entities than K: take them all and zero-fill
@@ -187,9 +230,9 @@ def agent_map_observations(
 
         sel_pos = take(roads.pos[..., 0:2])
         rel_ego = rotate_into_frame(
-            sel_pos - state.pos[:, :, None, :], state.yaw[:, :, None]
+            sel_pos - ego_pos[:, :, None, :], ego_yaw[:, :, None]
         )
-        heading = quat_yaw_diff(state.yaw[:, :, None], take(roads.yaw))
+        heading = quat_yaw_diff(ego_yaw[:, :, None], take(roads.yaw))
         sel = jnp.concatenate(
             [
                 rel_ego,
@@ -209,7 +252,7 @@ def agent_map_observations(
         # KNN filler: all-zero row including id/mapType (knn.hpp:19-28).
         out = jnp.where(keep[..., None], sel, 0.0)
     else:
-        feats, dist = _road_observation_features(scene, state)
+        feats, dist = _road_observation_features(scene, state, ego_idx)
         within = road_valid & (dist <= params.observation_radius)
         # Slot index = rank among kept entities, in entity order
         # (src/sim.cpp:262-276).
@@ -233,9 +276,7 @@ def agent_map_observations(
     # Padded ego agents: MapObservation::zero() rows
     # (src/level_gen.cpp:315-318).
     pad_filler = jnp.zeros(9, jnp.float32).at[7].set(-1.0).at[8].set(-1.0)
-    return jnp.where(
-        scene.agents.valid[:, :, None, None], out, pad_filler
-    )
+    return jnp.where(ego_valid[:, :, None, None], out, pad_filler)
 
 
 def map_observation(scene: Scene) -> jnp.ndarray:

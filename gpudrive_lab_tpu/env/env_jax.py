@@ -68,6 +68,7 @@ def flat_observation(
     params: Params,
     spec: ObsSpec,
     reward_weights: jnp.ndarray,
+    ego_idx: Optional[jnp.ndarray] = None,
 ):
     """Flattened per-agent policy observation + masks.
 
@@ -75,6 +76,11 @@ def flat_observation(
     SURVEY.md): [ego(6[+3]), partner(127*6), road(200*13)], normalized when
     norm_obs.  Returns (obs [W, A, D], partner_mask [W, A, 127],
     road_mask [W, A, K]).
+
+    ego_idx [W, C] restricts the ego axis to the selected agent slots
+    (obs/masks come back [W, C, ...]) — the learner-compaction hook: the
+    policy only needs rows for controlled agents, so compacting here cuts
+    the whole obs+policy path by A/C.
     """
     parts = []
     partner_mask = None
@@ -84,13 +90,13 @@ def flat_observation(
     # and the reference skips it entirely in lidar-only mode
     # (env_torch.py:1224-1272 returns empty masks when partner_obs is off).
     partner = (
-        obsmod.partner_observations(scene, state, params)
+        obsmod.partner_observations(scene, state, params, ego_idx)
         if spec.partner_obs
         else None
     )
 
     if spec.ego_state:
-        so = obsmod.self_observation(scene, state)
+        so = obsmod.self_observation(scene, state, ego_idx)
         speed = so[..., 0]
         length = so[..., 1] * C.VEHICLE_LENGTH_SCALE
         width = so[..., 2] * C.VEHICLE_LENGTH_SCALE
@@ -104,7 +110,9 @@ def flat_observation(
             gy = _minmax(gy, C.MIN_REL_GOAL_COORD, C.MAX_REL_GOAL_COORD)
         ego = jnp.stack([speed, length, width, gx, gy, collided], axis=-1)
         if spec.reward_conditioned:
-            ego = jnp.concatenate([ego, reward_weights], axis=-1)
+            ego = jnp.concatenate(
+                [ego, obsmod._ego_take(reward_weights, ego_idx)], axis=-1
+            )
         parts.append(ego)
 
     if spec.partner_obs:
@@ -124,7 +132,7 @@ def flat_observation(
         parts.append(pobs.reshape(pobs.shape[0], pobs.shape[1], -1))
 
     if spec.road_map_obs:
-        mo = obsmod.agent_map_observations(scene, state, params)
+        mo = obsmod.agent_map_observations(scene, state, params, ego_idx)
         x, y = mo[..., 0], mo[..., 1]
         d0, d1, d2 = mo[..., 2], mo[..., 3], mo[..., 4]
         heading = mo[..., 5]
@@ -148,7 +156,8 @@ def flat_observation(
         obs = jnp.concatenate(parts, axis=-1)
     else:  # disable_classic_obs: no flat features (lidar-only mode)
         W, A = scene.agents.valid.shape
-        obs = jnp.zeros((W, A, 0), jnp.float32)
+        rows = A if ego_idx is None else ego_idx.shape[1]
+        obs = jnp.zeros((W, rows, 0), jnp.float32)
 
     if spec.partner_obs:
         # Partner mask: 0 partner / 1 static / 2 nonexist
@@ -156,10 +165,21 @@ def flat_observation(
         # matches partner_observations' OtherAgents wiring.
         ids = partner[..., 8]
         feat_sum = jnp.sum(partner[..., :6], axis=-1)
-        A = partner.shape[1]
+        A = scene.agents.valid.shape[1]
         k = jnp.arange(A - 1)
-        src = k[None, :] + (k[None, :] >= jnp.arange(A)[:, None])
-        other_static = scene.agents.static[:, src]
+        if ego_idx is None:
+            src = k[None, :] + (k[None, :] >= jnp.arange(A)[:, None])
+            other_static = scene.agents.static[:, src]
+        else:
+            W, Csub = ego_idx.shape
+            src_w = k[None, None, :] + (
+                k[None, None, :] >= ego_idx[..., None]
+            )
+            other_static = jnp.take_along_axis(
+                scene.agents.static,
+                src_w.reshape(W, Csub * (A - 1)).astype(jnp.int32),
+                axis=1,
+            ).reshape(W, Csub, A - 1)
         partner_mask = jnp.where(
             other_static & (feat_sum != 0), 1, jnp.where(ids <= -1, 2, 0)
         )

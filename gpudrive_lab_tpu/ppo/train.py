@@ -42,6 +42,14 @@ def build_trainer(env: GPUDriveTPUEnv, ppo_config: PPOConfig,
     dispatches the minibatch loop too (fastest on remote TPU runtimes where
     lax.scan bodies execute poorly and giant update programs take minutes
     of XLA time)."""
+    if ppo_config.compact:
+        max_ctrl = int(
+            np.asarray(env.scene.agents.controlled).sum(axis=1).max()
+        )
+        assert ppo_config.compact >= max_ctrl, (
+            f"compact={ppo_config.compact} would drop controlled agents "
+            f"(scene batch max {max_ctrl} per world)"
+        )
     policy_config = policy_config or PolicyConfig(
         action_dim=env.action_space_n
     )

@@ -174,3 +174,47 @@ def test_absolute_obs_matches_state(scene_state):
     np.testing.assert_allclose(
         2 * np.arctan2(z, w), np.asarray(state.yaw)[0, :n], atol=1e-5
     )
+
+
+def test_flat_observation_ego_subset_matches_full(example_scene_paths):
+    """flat_observation(ego_idx) == full flat_observation gathered at the
+    same slots — the learner-compaction correctness contract."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gpudrive_lab_tpu.env.config import EnvConfig
+    from gpudrive_lab_tpu.env.env_jax import GPUDriveTPUEnv, flat_observation
+
+    env = GPUDriveTPUEnv(
+        EnvConfig(num_worlds=2, collision_behavior="ignore"),
+        scene_paths=example_scene_paths[:2],
+    )
+    env.reset()
+    # step a few times so states differ from reset
+    for _ in range(3):
+        env.step_dynamics(
+            jnp.zeros((2, env.max_agent_count, 10)).at[..., 0].set(1.0)
+        )
+    full, pm_full, rm_full = flat_observation(
+        env.scene, env.state, env.params, env.spec, env.reward_weights
+    )
+    # controlled-first slot order (what the compact learner uses) plus a
+    # couple of arbitrary rows
+    ctrl = np.asarray(env.scene.agents.controlled)
+    Csub = 8
+    idx = np.argsort(~ctrl, axis=1, kind="stable")[:, :Csub]
+    sub, pm_sub, rm_sub = flat_observation(
+        env.scene, env.state, env.params, env.spec, env.reward_weights,
+        jnp.asarray(idx),
+    )
+    w = np.arange(2)[:, None]
+    np.testing.assert_allclose(
+        np.asarray(sub), np.asarray(full)[w, idx], atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(pm_sub), np.asarray(pm_full)[w, idx]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rm_sub), np.asarray(rm_full)[w, idx]
+    )

@@ -74,6 +74,31 @@ def test_remat_obs_matches_stored_obs(trainer):
     )
 
 
+def test_compact_learner_same_sample_count(trainer):
+    """compact=C >= max controlled per world consumes exactly the same
+    training samples as the dense path and learns (finite, params move)."""
+    env, _ = trainer
+    max_ctrl = int(np.asarray(env.scene.agents.controlled).sum(axis=1).max())
+
+    samples = {}
+    for compact in (0, max(max_ctrl, 8)):
+        _, variables, opt_state, carry, fresh, train_fn = build_trainer(
+            env, PPOConfig(rollout_len=8, num_minibatches=2, compact=compact),
+            seed=3,
+        )
+        before = np.asarray(jax.tree.leaves(variables)[0]).copy()
+        variables, opt_state, carry, metrics = train_fn(
+            env.scene, variables, opt_state, carry, fresh, env.reward_weights
+        )
+        m = {k: float(np.asarray(v)) for k, v in metrics.items()}
+        assert np.isfinite(list(m.values())).all(), (compact, m)
+        assert not np.allclose(
+            before, np.asarray(jax.tree.leaves(variables)[0])
+        )
+        samples[compact] = m["samples"]
+    assert samples[0] == samples[max(max_ctrl, 8)], samples
+
+
 def test_bf16_stored_obs_close_to_f32(trainer):
     """obs_store_dtype=bfloat16 (no remat) stays numerically close to the
     f32 stored-obs path after one iteration."""
