@@ -176,11 +176,13 @@ def main():
                         "SimStates in the update, or store f32/bf16 obs "
                         "(bf16 fits HBM at W=128 and skips the update's "
                         "obs recompute)")
-    p.add_argument("--rollout-mode", choices=["scan", "loop", "dispatch"],
-                   default="dispatch",
-                   help="'dispatch' re-dispatches one small jitted "
-                        "minibatch program instead of compiling the whole "
-                        "scanned update (minutes of XLA on the tunnel)")
+    p.add_argument("--rollout-mode",
+                   choices=["scan", "unroll", "loop", "dispatch"],
+                   default="unroll",
+                   help="'unroll' jits the whole iteration as ONE "
+                        "While-free straight-line program (fastest on the "
+                        "axon tunnel); 'scan' uses lax.scan loops; "
+                        "'dispatch' python-dispatches minibatch programs")
     args = p.parse_args()
 
     import jax

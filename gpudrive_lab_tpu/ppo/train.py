@@ -37,11 +37,16 @@ def build_trainer(env: GPUDriveTPUEnv, ppo_config: PPOConfig,
                   rollout_mode: str = "scan"):
     """Returns (policy, variables, opt_state, carry, fresh, train_fn).
 
-    rollout_mode 'scan' jits the whole iteration; 'loop' python-dispatches
-    the rollout step but keeps the scanned update; 'dispatch' python-
-    dispatches the minibatch loop too (fastest on remote TPU runtimes where
-    lax.scan bodies execute poorly and giant update programs take minutes
-    of XLA time)."""
+    rollout_mode 'scan' jits the whole iteration; 'unroll' also jits the
+    whole iteration but traces every loop as straight-line code (ONE
+    While-free dispatch per iteration — the fast path on the axon remote
+    runtime, where While-loop programs execute ~200x slower than their
+    unrolled bodies); 'loop' python-dispatches the rollout step but keeps
+    the scanned update; 'dispatch' python-dispatches the minibatch loop too."""
+    import dataclasses as _dc
+
+    if rollout_mode == "unroll":
+        ppo_config = _dc.replace(ppo_config, unroll=True)
     if ppo_config.compact:
         max_ctrl = int(
             np.asarray(env.scene.agents.controlled).sum(axis=1).max()
@@ -99,7 +104,9 @@ def main():
     p.add_argument("--continue-training", action="store_true",
                    help="resume from <checkpoint-path>/policy.pkl "
                         "(reference: ppo_pufferlib.py:52-70)")
-    p.add_argument("--rollout-mode", choices=["scan", "loop", "dispatch"], default="scan")
+    p.add_argument("--rollout-mode",
+                   choices=["scan", "unroll", "loop", "dispatch"],
+                   default="scan")
     p.add_argument("--ent-coef", type=float, default=1e-4)
     p.add_argument("--entropy-floor", type=float, default=0.0,
                    help="adaptive entropy control: when measured policy "

@@ -145,6 +145,33 @@ def test_dispatch_mode_matches_loop_mode(trainer):
         )
 
 
+def test_unroll_mode_matches_scan_mode(trainer):
+    """The While-free straight-line trace (PPOConfig.unroll, the fast path
+    on remote TPU runtimes) must be numerically equivalent to the lax.scan
+    trace: same ops in the same order, only the loop representation
+    differs."""
+    env, _ = trainer
+    results = []
+    for mode in ("scan", "unroll"):
+        _, variables, opt_state, carry, fresh, train_fn = build_trainer(
+            env, PPOConfig(rollout_len=8, num_minibatches=2), seed=13,
+            rollout_mode=mode,
+        )
+        variables, opt_state, carry, metrics = train_fn(
+            env.scene, variables, opt_state, carry, fresh, env.reward_weights
+        )
+        results.append((jax.tree.leaves(variables), metrics))
+    (va, ma), (vb, mb) = results
+    for a, b in zip(va, vb):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5
+        )
+    np.testing.assert_allclose(
+        float(np.asarray(ma["entropy"])), float(np.asarray(mb["entropy"])),
+        rtol=1e-5,
+    )
+
+
 def test_gae_matches_numpy():
     from gpudrive_lab_tpu.networks.late_fusion import LateFusionPolicy, PolicyConfig
     from gpudrive_lab_tpu.ppo import ppo as ppomod
