@@ -104,12 +104,27 @@ def partner_observations(
             out = jnp.take_along_axis(x, idx.astype(jnp.int32), axis=1)
             return out.reshape((W, C, A - 1) + x.shape[2:])
 
-    o_pos = take(state.pos)
-    o_speed = take(state.speed)
-    o_yaw = take(state.yaw)
-    o_size = take(agents.size)
-    o_type = take(agents.etype).astype(jnp.float32)
-    o_id = take(agents.aid).astype(jnp.float32)
+    # ONE packed gather instead of six per-attribute gathers: each gather is
+    # its own (slow) HLO on TPU, and the gathered values are small ints/floats
+    # that are exact in f32, so packing first changes nothing numerically.
+    packed = jnp.concatenate(
+        [
+            state.pos,                                    # 0:2
+            state.speed[..., None],                       # 2
+            state.yaw[..., None],                         # 3
+            agents.size,                                  # 4:7
+            agents.etype.astype(jnp.float32)[..., None],  # 7
+            agents.aid.astype(jnp.float32)[..., None],    # 8
+        ],
+        axis=-1,
+    )  # [W, A, 9]
+    sel_p = take(packed)
+    o_pos = sel_p[..., 0:2]
+    o_speed = sel_p[..., 2]
+    o_yaw = sel_p[..., 3]
+    o_size = sel_p[..., 4:7]
+    o_type = sel_p[..., 7]
+    o_id = sel_p[..., 8]
 
     rel_ego = rotate_into_frame(
         o_pos - esel(state.pos)[:, :, None, :], esel(state.yaw)[:, :, None]
@@ -225,30 +240,43 @@ def agent_map_observations(
                 axis=-1,
             )
 
-        def take(x):  # [W, R(, d)] -> [W, A, K(, d)]
-            return jax.vmap(lambda xw, iw: xw[iw])(x, idx)
-
-        sel_pos = take(roads.pos[..., 0:2])
-        rel_ego = rotate_into_frame(
-            sel_pos - ego_pos[:, :, None, :], ego_yaw[:, :, None]
-        )
-        heading = quat_yaw_diff(ego_yaw[:, :, None], take(roads.yaw))
+        # ONE packed gather instead of six per-attribute gathers plus a
+        # take_along_axis over the [W, A, R] score lattice: each gather is
+        # its own (slow) HLO on TPU (measured ~55 ms of the W=64 obs path),
+        # and sel_d2 recomputed from the gathered positions is bitwise
+        # identical to the lattice value (same operands, same op order).
+        packed = jnp.concatenate(
+            [
+                roads.pos[..., 0:2],                          # 0:2
+                roads.scale,                                   # 2:5
+                roads.yaw[..., None],                          # 5
+                roads.etype.astype(jnp.float32)[..., None],    # 6
+                roads.rid.astype(jnp.float32)[..., None],      # 7
+                roads.map_type.astype(jnp.float32)[..., None], # 8
+                roads.valid.astype(jnp.float32)[..., None],    # 9
+            ],
+            axis=-1,
+        )  # [W, R, 10]
+        sel_p = jax.vmap(lambda xw, iw: xw[iw])(packed, idx)  # [W,A,K,10]
+        sel_pos = sel_p[..., 0:2]
+        rel = sel_pos - ego_pos[:, :, None, :]
+        rel_ego = rotate_into_frame(rel, ego_yaw[:, :, None])
+        heading = quat_yaw_diff(ego_yaw[:, :, None], sel_p[..., 5])
         sel = jnp.concatenate(
             [
                 rel_ego,
-                take(roads.scale),
+                sel_p[..., 2:5],
                 heading[..., None],
-                take(roads.etype).astype(jnp.float32)[..., None],
-                take(roads.rid).astype(jnp.float32)[..., None],
-                take(roads.map_type).astype(jnp.float32)[..., None],
+                sel_p[..., 6:9],
             ],
             axis=-1,
         )
-        sel_d2 = jnp.take_along_axis(score, idx, axis=2)
+        sel_d2 = jnp.sum(rel * rel, axis=-1)
+        sel_valid = sel_p[..., 9] > 0.5
         if K_eff < K:
             pad = jnp.arange(K) >= K_eff
-            sel_d2 = jnp.where(pad[None, None, :], jnp.inf, sel_d2)
-        keep = sel_d2 <= params.observation_radius**2
+            sel_valid = sel_valid & ~pad[None, None, :]
+        keep = sel_valid & (sel_d2 <= params.observation_radius**2)
         # KNN filler: all-zero row including id/mapType (knn.hpp:19-28).
         out = jnp.where(keep[..., None], sel, 0.0)
     else:
