@@ -115,6 +115,16 @@ def main():
                         "toward --ent-coef above 2x the floor; 0 disables "
                         "(fixes the collapse seen in short runs)")
     p.add_argument("--num-minibatches", type=int, default=4)
+    p.add_argument("--update-epochs", type=int, default=4)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--compact", type=int, default=0,
+                   help="learner compaction: obs/policy/GAE restricted to "
+                        "the first N controlled slots per world (0=dense; "
+                        "must cover the scene batch's max controlled count)")
+    p.add_argument("--obs-store", choices=["remat", "f32", "bf16"],
+                   default="remat",
+                   help="rollout obs handling: rematerialize from stored "
+                        "SimStates (min HBM), or store f32/bf16 obs")
     args = p.parse_args()
 
     loader = SceneDataLoader(
@@ -136,7 +146,13 @@ def main():
     env = GPUDriveTPUEnv(cfg, data_loader=loader)
     ppo_cfg = PPOConfig(rollout_len=args.rollout_len,
                         num_minibatches=args.num_minibatches,
-                        ent_coef=args.ent_coef)
+                        ent_coef=args.ent_coef,
+                        update_epochs=args.update_epochs,
+                        learning_rate=args.lr,
+                        compact=args.compact,
+                        remat_obs=args.obs_store == "remat",
+                        obs_store_dtype="bfloat16"
+                        if args.obs_store == "bf16" else "float32")
     policy, variables, opt_state, carry, fresh, train_fn = build_trainer(
         env, ppo_cfg, seed=args.seed, rollout_mode=args.rollout_mode
     )

@@ -1,0 +1,48 @@
+#!/bin/bash
+# Resumable PPO training campaign (VERDICT r1 item 4).
+#
+# Runs the train CLI toward a target step count in crash-tolerant chunks:
+# the CLI itself loops until --total-timesteps, and --continue-training
+# restores policy + Adam state + global_step from <dir>/policy.pkl, so the
+# wrapper only needs to restart after tunnel hiccups.  Progress (goal rate,
+# entropy, SPS) streams to <dir>/ppo.jsonl.
+#
+# Usage: scripts/ppo_campaign.sh [target_steps] [run_dir]
+
+set -u
+TARGET=${1:-50000000}
+DIR=${2:-runs/campaign}
+CHUNK_TIMEOUT=${CHUNK_TIMEOUT:-5400}
+
+mkdir -p "$DIR"
+while :; do
+  done_steps=$(python - "$DIR" <<'EOF'
+import pickle, sys
+from pathlib import Path
+p = Path(sys.argv[1]) / "policy.pkl"
+try:
+    print(int(pickle.load(open(p, "rb")).get("global_step", 0)))
+except Exception:
+    print(0)
+EOF
+)
+  echo "[campaign] at ${done_steps}/${TARGET} agent-steps" >&2
+  if [ "$done_steps" -ge "$TARGET" ]; then
+    echo "[campaign] target reached" >&2
+    break
+  fi
+  timeout "$CHUNK_TIMEOUT" python -m gpudrive_lab_tpu.ppo.train \
+    --num-worlds 64 --rollout-len 32 --num-minibatches 16 \
+    --compact 64 --obs-store bf16 --rollout-mode unroll \
+    --entropy-floor "${ENTROPY_FLOOR:-0.8}" --ent-coef 1e-3 \
+    --resample-interval "${RESAMPLE_INTERVAL:-2000000}" \
+    --checkpoint-interval 25 \
+    --total-timesteps "$TARGET" \
+    --checkpoint-path "$DIR" --continue-training
+  rc=$?
+  if [ "$rc" -eq 0 ]; then
+    break
+  fi
+  echo "[campaign] chunk exited rc=$rc; restarting in 60 s" >&2
+  sleep 60
+done
