@@ -28,8 +28,15 @@ class SB3MultiAgentEnv:
         config: EnvConfig,
         data_loader: SceneDataLoader,
         max_cont_agents: int | None = None,
+        render: bool = False,
+        render_k_scenarios: int = 1,
+        video_dir: str | None = None,
     ):
         self.env = GPUDriveTPUEnv(config, data_loader=data_loader)
+        self.render = render
+        self.render_k_scenarios = render_k_scenarios
+        self.video_dir = video_dir
+        self._frames: dict[int, list] = {}
         self.num_worlds = self.env.num_worlds
         self.max_agent_count = self.env.max_agent_count
         self.obs_dim = self.env.observation_dim
@@ -40,6 +47,7 @@ class SB3MultiAgentEnv:
         )
         self.action_space = gymnasium.spaces.Discrete(self.env.action_space_n)
         self._actions = None
+        self.num_episodes = 0
         self.info_dict: dict = {}
 
     def _refresh_mask(self):
@@ -79,13 +87,21 @@ class SB3MultiAgentEnv:
         infos = [
             {"dead": bool(d)} for d in self.dead_agent_mask
         ]
+        prev_dead = self.dead_agent_mask.copy()
         self.dead_agent_mask |= dones
+
+        if self.render:
+            self.render_env()
 
         world_done = (
             (np.asarray(self.env.get_dones()) > 0)
             | ~self.controlled_mask
         ).all(axis=1)
         if world_done.any():
+            if self.render:
+                self._flush_videos(np.nonzero(world_done)[0])
+            self._update_info_dict(np.nonzero(world_done)[0], prev_dead)
+            self.num_episodes += int(world_done.sum())
             self.env.reset(env_idx_list=np.nonzero(world_done)[0].tolist())
             flat_done = np.repeat(world_done, self.max_agent_count)[
                 self.flat_ids
@@ -96,6 +112,72 @@ class SB3MultiAgentEnv:
     def step(self, actions):
         self.step_async(actions)
         return self.step_wait()
+
+    def _update_info_dict(
+        self, done_world_ids: np.ndarray, prev_dead: np.ndarray
+    ) -> None:
+        """Aggregate episode-end metrics over the finished worlds' controlled
+        agents, the wandb-facing counters the reference logs (reference:
+        sb3_wrapper.py:288-318): off_road / veh_collisions /
+        non_veh_collision / goal_achieved sums, the controlled-agent count,
+        and `truncated` = agents that survived to the episode's time limit
+        (world at the final step, not dead before it)."""
+        from gpudrive_lab_tpu import constants as C
+
+        state = self.env.state
+        mask = self.controlled_mask[done_world_ids]
+
+        def agg(x):
+            return float(np.asarray(x)[done_world_ids][mask].sum())
+
+        at_limit = (
+            np.asarray(self.env.world_time_steps) >= C.EPISODE_LEN
+        )[done_world_ids]
+        in_done_world = np.repeat(
+            np.isin(np.arange(self.num_worlds), done_world_ids[at_limit]),
+            self.max_agent_count,
+        )[self.flat_ids]
+        self.info_dict = {
+            "off_road": agg(state.collided_road),
+            "veh_collisions": agg(state.collided_vehicle),
+            "non_veh_collision": agg(state.collided_non_vehicle),
+            "goal_achieved": agg(state.reached_goal),
+            "num_controlled_agents": int(mask.sum()),
+            "truncated": int((~prev_dead & in_done_world).sum()),
+        }
+
+    def render_env(self) -> None:
+        """Accumulate per-step frames for the first k worlds (reference:
+        sb3_wrapper.py render_env/log_video_to_wandb)."""
+        for w in range(min(self.render_k_scenarios, self.num_worlds)):
+            self._frames.setdefault(w, []).append(self.env.render(w))
+
+    def _flush_videos(self, done_world_ids: np.ndarray) -> None:
+        """On episode end, encode each finished rendered world's frames and
+        log to wandb when a run is active, else write into ``video_dir``."""
+        from gpudrive_lab_tpu.visualize.video import save_video
+
+        for w in done_world_ids.tolist():
+            frames = self._frames.pop(w, None)
+            if not frames:
+                continue
+            try:
+                import wandb
+
+                if wandb.run is not None:
+                    arr = np.stack(frames).transpose(0, 3, 1, 2)
+                    wandb.log({f"videos/world_{w}": wandb.Video(arr, fps=15)})
+                    continue
+            except ImportError:
+                pass
+            if self.video_dir:
+                from pathlib import Path
+
+                Path(self.video_dir).mkdir(parents=True, exist_ok=True)
+                save_video(
+                    frames,
+                    f"{self.video_dir}/world_{w}_ep{self.num_episodes}.gif",
+                )
 
     def close(self):
         pass

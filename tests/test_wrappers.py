@@ -74,3 +74,53 @@ def test_reward_conditioned_presets(example_scene_paths):
     w = np.asarray(env.reward_weights)
     assert (w[..., 0] >= cfg.collision_weight_lb - 1e-6).all()
     assert (w[..., 0] <= cfg.collision_weight_ub + 1e-6).all()
+
+
+def test_sb3_info_dict_at_episode_end(example_scene_paths):
+    """info_dict fills with the reference's episode-end counters when a world
+    completes (reference: sb3_wrapper.py:288-318)."""
+    loader = SceneDataLoader(
+        root=os.path.dirname(example_scene_paths[0]),
+        batch_size=2, dataset_size=4,
+    )
+    env = SB3MultiAgentEnv(
+        EnvConfig(num_worlds=2, reward_type="weighted_combination",
+                  collision_weight=-0.75, off_road_weight=-0.75),
+        loader,
+    )
+    env.reset()
+    for _ in range(91):  # time-limit truncation ends every world
+        env.step(np.zeros(env.num_envs, np.int64))
+        if env.num_episodes:
+            break
+    assert env.num_episodes >= 1
+    keys = {"off_road", "veh_collisions", "non_veh_collision",
+            "goal_achieved", "num_controlled_agents", "truncated"}
+    assert keys <= set(env.info_dict)
+    n = env.info_dict["num_controlled_agents"]
+    assert n >= 1
+    # terminal-event counts and survivors are bounded by the agent count
+    assert 0 <= env.info_dict["goal_achieved"] <= n
+    assert 0 <= env.info_dict["truncated"] <= n
+
+
+def test_sb3_render_videos(example_scene_paths, tmp_path):
+    """render=True accumulates frames and flushes a video per finished world
+    (reference: sb3_wrapper.py render_env / log_video_to_wandb)."""
+    loader = SceneDataLoader(
+        root=os.path.dirname(example_scene_paths[0]),
+        batch_size=2, dataset_size=4,
+    )
+    env = SB3MultiAgentEnv(
+        EnvConfig(num_worlds=2, reward_type="weighted_combination"),
+        loader, render=True, render_k_scenarios=1,
+        video_dir=str(tmp_path),
+    )
+    env.reset()
+    for _ in range(3):
+        env.step(np.zeros(env.num_envs, np.int64))
+    assert len(env._frames[0]) == 3
+    env._flush_videos(np.array([0]))
+    gifs = list(tmp_path.glob("*.gif"))
+    assert len(gifs) == 1 and gifs[0].stat().st_size > 0
+    assert 0 not in env._frames
