@@ -31,11 +31,17 @@ EOF
     echo "[campaign] target reached" >&2
     break
   fi
+  # Hyperparameters mirror ppo_base_puffer.yaml: effective batch
+  # W*compact*T = 64*64*32 = 131072 == their batch_size, minibatch
+  # 131072/16 = 8192, update_epochs 4, lr 3e-4, gamma/lambda/clip defaults.
+  # Deviations: ent_coef 1e-3 + entropy floor (their 1e-4 collapsed at ~1M
+  # steps in round-1 runs), no resampling (the example batch has 4 unique
+  # scenes — swapping re-tiles the same set).
   timeout "$CHUNK_TIMEOUT" python -m gpudrive_lab_tpu.ppo.train \
     --num-worlds 64 --rollout-len 32 --num-minibatches 16 \
     --compact 64 --obs-store bf16 --rollout-mode unroll \
     --entropy-floor "${ENTROPY_FLOOR:-0.8}" --ent-coef 1e-3 \
-    --resample-interval "${RESAMPLE_INTERVAL:-2000000}" \
+    --resample-interval "${RESAMPLE_INTERVAL:-0}" \
     --checkpoint-interval 25 \
     --total-timesteps "$TARGET" \
     --checkpoint-path "$DIR" --continue-training
