@@ -77,6 +77,7 @@ def bench_train(args):
     )
     policy, variables, opt_state, carry, fresh, train_fn = build_trainer(
         env, ppo_cfg, seed=0, rollout_mode=args.rollout_mode,
+        iters_per_dispatch=args.iters_per_dispatch,
     )
     iters = 2 if args.smoke else args.train_iters
 
@@ -88,7 +89,8 @@ def bench_train(args):
                 env.scene, variables, opt_state, carry, fresh,
                 env.reward_weights,
             )
-            samples = samples + metrics["samples"]
+            # with --iters-per-dispatch K, metrics carry a leading [K] axis
+            samples = samples + metrics["samples"].sum()
             # Serialize iterations: queueing several giant train programs
             # lets their HLO temporaries coexist in HBM and faults the
             # worker (observed at W=128); one block per iteration bounds
@@ -176,6 +178,11 @@ def main():
                         "SimStates in the update, or store f32/bf16 obs "
                         "(bf16 fits HBM at W=128 and skips the update's "
                         "obs recompute)")
+    p.add_argument("--iters-per-dispatch", type=int, default=1,
+                   help="fold K train iterations into one jitted program "
+                        "(--train, scan/unroll modes): amortizes the remote "
+                        "runtime's per-dispatch handle overhead (~227 "
+                        "handles/iteration)")
     p.add_argument("--rollout-mode",
                    choices=["scan", "unroll", "loop", "dispatch"],
                    default="unroll",

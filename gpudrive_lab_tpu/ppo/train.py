@@ -34,7 +34,7 @@ from gpudrive_lab_tpu.ppo.ppo import EnvCarry, PPOConfig, make_ppo_funcs
 
 def build_trainer(env: GPUDriveTPUEnv, ppo_config: PPOConfig,
                   policy_config: PolicyConfig | None = None, seed: int = 42,
-                  rollout_mode: str = "scan"):
+                  rollout_mode: str = "scan", iters_per_dispatch: int = 1):
     """Returns (policy, variables, opt_state, carry, fresh, train_fn).
 
     rollout_mode 'scan' jits the whole iteration; 'unroll' also jits the
@@ -42,7 +42,14 @@ def build_trainer(env: GPUDriveTPUEnv, ppo_config: PPOConfig,
     While-free dispatch per iteration — the fast path on the axon remote
     runtime, where While-loop programs execute ~200x slower than their
     unrolled bodies); 'loop' python-dispatches the rollout step but keeps
-    the scanned update; 'dispatch' python-dispatches the minibatch loop too."""
+    the scanned update; 'dispatch' python-dispatches the minibatch loop too.
+
+    iters_per_dispatch > 1 (scan/unroll modes only) folds K train
+    iterations into ONE jitted program whose metrics carry a leading [K]
+    axis.  On the axon remote runtime a dispatch costs ~0.5-1 s per ~100
+    pytree handles regardless of compute (CLAUDE.md); one train iteration
+    moves ~227 handles, so folding K iterations amortizes that fixed cost
+    K-fold at the price of a K-fold longer (one-time, cached) compile."""
     import dataclasses as _dc
 
     if rollout_mode == "unroll":
@@ -83,9 +90,22 @@ def build_trainer(env: GPUDriveTPUEnv, ppo_config: PPOConfig,
     elif rollout_mode == "loop":
         train_fn = train_step_loop
     else:
+        step_fn = train_step
+        if iters_per_dispatch > 1:
+            def step_fn(scene, variables, opt_state, carry, fresh,
+                        reward_weights, ent_coef=None):
+                stacked = []
+                for _ in range(iters_per_dispatch):
+                    variables, opt_state, carry, m = train_step(
+                        scene, variables, opt_state, carry, fresh,
+                        reward_weights, ent_coef,
+                    )
+                    stacked.append(m)
+                metrics = jax.tree.map(lambda *xs: jnp.stack(xs), *stacked)
+                return variables, opt_state, carry, metrics
         # Donate params/opt/carry buffers (carry holds a copy of `fresh`,
         # which is passed separately and must stay alive across iterations).
-        train_fn = jax.jit(train_step, donate_argnums=(1, 2, 3))
+        train_fn = jax.jit(step_fn, donate_argnums=(1, 2, 3))
     return policy, variables, opt_state, carry, fresh, train_fn
 
 
@@ -107,6 +127,15 @@ def main():
     p.add_argument("--rollout-mode",
                    choices=["scan", "unroll", "loop", "dispatch"],
                    default="scan")
+    p.add_argument("--iters-per-dispatch", type=int, default=1,
+                   help="fold K train iterations into one jitted dispatch "
+                        "(scan/unroll only): amortizes the remote runtime's "
+                        "per-dispatch handle overhead; metrics/entropy "
+                        "control then act per dispatch")
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. 'cpu' for local smoke "
+                        "runs — JAX_PLATFORMS alone is overridden by the "
+                        "axon plugin's sitecustomize)")
     p.add_argument("--ent-coef", type=float, default=1e-4)
     p.add_argument("--entropy-floor", type=float, default=0.0,
                    help="adaptive entropy control: when measured policy "
@@ -126,6 +155,9 @@ def main():
                    help="rollout obs handling: rematerialize from stored "
                         "SimStates (min HBM), or store f32/bf16 obs")
     args = p.parse_args()
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     loader = SceneDataLoader(
         root=args.data_dir,
@@ -154,7 +186,8 @@ def main():
                         obs_store_dtype="bfloat16"
                         if args.obs_store == "bf16" else "float32")
     policy, variables, opt_state, carry, fresh, train_fn = build_trainer(
-        env, ppo_cfg, seed=args.seed, rollout_mode=args.rollout_mode
+        env, ppo_cfg, seed=args.seed, rollout_mode=args.rollout_mode,
+        iters_per_dispatch=args.iters_per_dispatch,
     )
 
     ckpt_dir = Path(args.checkpoint_path)
@@ -207,8 +240,12 @@ def main():
                     env.reward_weights, jnp.float32(ent_coef),
                 )
                 # ONE batched device->host fetch (per-key np.asarray would
-                # be |metrics| blocking round trips on remote runtimes)
-                m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                # be |metrics| blocking round trips on remote runtimes).
+                # With iters_per_dispatch>1 each value is [K]; samples sum
+                # over the fold, everything else is reported as its mean.
+                fetched = jax.device_get(metrics)
+                samples = int(np.sum(fetched.pop("samples")))
+                m = {k: float(np.mean(v)) for k, v in fetched.items()}
             if args.entropy_floor > 0.0:
                 # entropy-floor controller: multiplicative push-back when
                 # the policy collapses, slow relaxation when healthy
@@ -217,14 +254,16 @@ def main():
                 elif m["entropy"] > 2.0 * args.entropy_floor:
                     ent_coef = max(ent_coef / 1.2, args.ent_coef)
                 m["ent_coef"] = ent_coef
-            samples = int(m.pop("samples"))
             global_step += samples
             profile.account(
                 samples,
-                env.num_worlds * 128 * args.rollout_len,
+                env.num_worlds * 128 * args.rollout_len
+                * args.iters_per_dispatch,
             )
-            iteration += 1
-            if iteration % 10 == 1:
+            prev_iteration = iteration
+            iteration += args.iters_per_dispatch
+            # boundary-crossing cadence (iteration can advance by K)
+            if iteration // 10 != prev_iteration // 10:
                 logger.log(
                     dict(
                         iteration=iteration,
@@ -235,7 +274,8 @@ def main():
                     ),
                     step=global_step,
                 )
-            if iteration % args.checkpoint_interval == 0:
+            if (iteration // args.checkpoint_interval
+                    != prev_iteration // args.checkpoint_interval):
                 with open(ckpt_dir / "policy.pkl", "wb") as f:
                     pickle.dump(
                         {

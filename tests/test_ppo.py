@@ -226,3 +226,41 @@ def test_policy_forward_shapes():
     assert a.shape == (4,) and np.asarray(ent).min() > 0
     n_params = sum(x.size for x in jax.tree.leaves(variables))
     assert 50_000 < n_params < 2_000_000
+
+
+def test_iters_per_dispatch_matches_sequential(trainer):
+    """K=2 iterations folded into one dispatched program must equal two
+    sequential K=1 dispatches exactly (same rng chain threaded through the
+    carry), with metrics stacked on a leading [K] axis."""
+    env, _ = trainer
+
+    _, variables, opt_state, carry, fresh, train_fn = build_trainer(
+        env, PPOConfig(rollout_len=8, num_minibatches=2), seed=19,
+        iters_per_dispatch=1,
+    )
+    seq_metrics = []
+    for _ in range(2):
+        variables, opt_state, carry, m = train_fn(
+            env.scene, variables, opt_state, carry, fresh, env.reward_weights
+        )
+        seq_metrics.append(m)
+    seq_vars = jax.tree.leaves(variables)
+
+    _, variables, opt_state, carry, fresh, train_fn = build_trainer(
+        env, PPOConfig(rollout_len=8, num_minibatches=2), seed=19,
+        iters_per_dispatch=2,
+    )
+    variables, opt_state, carry, mk = train_fn(
+        env.scene, variables, opt_state, carry, fresh, env.reward_weights
+    )
+    for k, v in mk.items():
+        assert v.shape[0] == 2, (k, v.shape)
+        np.testing.assert_allclose(
+            np.asarray(v),
+            np.asarray([seq_metrics[0][k], seq_metrics[1][k]]),
+            atol=1e-5, rtol=1e-4,
+        )
+    for a, b in zip(seq_vars, jax.tree.leaves(variables)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5
+        )
