@@ -159,6 +159,13 @@ def main():
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
+    # Persist the (large) train-iteration executable across process
+    # restarts — the campaign driver resumes in chunks, and without this
+    # every chunk would pay the full XLA compile again.
+    import gpudrive_lab_tpu
+
+    gpudrive_lab_tpu.enable_compile_cache()
+
     loader = SceneDataLoader(
         root=args.data_dir,
         batch_size=args.num_worlds,
