@@ -3,6 +3,10 @@
 # answers.  Sequential — the chip is exclusive-access; never overlap runs.
 # Each step logs to bench_logs/ and tolerates failure (later steps still run).
 #
+# Trimmed to the pre-campaign essentials; diagnostics that don't gate the
+# campaign live in tpu_post_campaign.sh so the 50M-step PPO campaign starts
+# as early as possible.
+#
 # Usage: scripts/tpu_runbook.sh [logdir]
 
 set -u
@@ -22,23 +26,15 @@ run sanity 120 python -c "import jax; print(jax.devices())"
 # 1. sim headline (regression check after the packed-gather obs rewrite)
 run sim_headline 3600 python bench.py --repeats 3
 
-# 2. obs anatomy probe: did the packed-gather rewrite kill the 435 ms body?
-run obs_anatomy 5400 python scripts/probe_obs_anatomy.py
-
-# 3. honest end-to-end train SPS at the campaign config, K=1 then K=4
+# 2. honest end-to-end train SPS at the campaign config, K=1 then K=4
 #    (compile is slow — minutes to tens of minutes — but persists in the
 #    XLA cache; the timing loop excludes it)
 run train_w64_k1 10800 python bench.py --train --worlds 64 --rollout-len 32 \
     --num-minibatches 16 --compact 64 --obs-store bf16 \
     --rollout-mode unroll --train-iters 4 --repeats 2
-run train_w64_k4 14400 python bench.py --train --worlds 64 --rollout-len 32 \
+run train_w64_k4 10800 python bench.py --train --worlds 64 --rollout-len 32 \
     --num-minibatches 16 --compact 64 --obs-store bf16 \
     --rollout-mode unroll --iters-per-dispatch 4 --train-iters 2 --repeats 2
 
-# 4. larger-batch point (amortizes dispatch differently than K-folding)
-run train_w256_k1 14400 python bench.py --train --worlds 256 --rollout-len 32 \
-    --num-minibatches 16 --compact 64 --obs-store bf16 \
-    --rollout-mode unroll --train-iters 2 --repeats 2
-
-echo "runbook complete ($(date)); inspect $LOG/*.log, then launch" \
-     "scripts/ppo_campaign.sh with the winning config" | tee -a "$LOG/runbook.log"
+echo "runbook complete ($(date)); launch scripts/ppo_campaign.sh next" \
+  | tee -a "$LOG/runbook.log"
