@@ -222,6 +222,8 @@ def main():
     iteration = 0
     resampled_at = start_step
     ent_coef = args.ent_coef
+    ep_win_keys = ("perc_goal_achieved", "perc_collisions", "perc_off_road")
+    ep_win = dict.fromkeys(("episodes",) + ep_win_keys, 0.0)
     try:
         while global_step < args.total_timesteps:
             if (
@@ -253,6 +255,20 @@ def main():
                 fetched = jax.device_get(metrics)
                 samples = int(np.sum(fetched.pop("samples")))
                 m = {k: float(np.mean(v)) for k, v in fetched.items()}
+                # Episode stats only exist on iterations whose rollout
+                # window contains an episode boundary (91-step episodes vs
+                # 32-step rollouts -> ~1/3 of iterations).  Accumulate
+                # episode-weighted sums across the whole logging window so
+                # the logged goal/collision rates cover every completed
+                # episode instead of aliasing to whichever iteration gets
+                # sampled.  perc_* = sum(world fractions)/max(n_ep,1) in
+                # ppo.py, so perc*episodes recovers the sum exactly.
+                ep_arr = np.asarray(fetched["episodes"], np.float64)
+                ep_win["episodes"] += float(ep_arr.sum())
+                for key in ep_win_keys:
+                    ep_win[key] += float(
+                        (np.asarray(fetched[key], np.float64) * ep_arr).sum()
+                    )
             if args.entropy_floor > 0.0:
                 # entropy-floor controller: multiplicative push-back when
                 # the policy collapses, slow relaxation when healthy
@@ -271,6 +287,11 @@ def main():
             iteration += args.iters_per_dispatch
             # boundary-crossing cadence (iteration can advance by K)
             if iteration // 10 != prev_iteration // 10:
+                n_ep = max(ep_win["episodes"], 1.0)
+                m["episodes"] = ep_win["episodes"]
+                for key in ep_win_keys:
+                    m[key] = ep_win[key] / n_ep
+                ep_win = dict.fromkeys(ep_win, 0.0)
                 logger.log(
                     dict(
                         iteration=iteration,

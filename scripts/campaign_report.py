@@ -34,6 +34,21 @@ def window_mean(rows: list[dict], key: str) -> float | None:
     return sum(vals) / len(vals) if vals else None
 
 
+def episode_weighted_mean(rows: list[dict], key: str) -> float | None:
+    """Weight each logged rate by its window's completed-episode count
+    (train.py logs episode-windowed rates; rows with episodes=0 carry no
+    information and would otherwise drag the mean toward zero)."""
+    num = den = 0.0
+    for r in rows:
+        if key in r:
+            w = float(r.get("episodes", 1.0))
+            num += r[key] * w
+            den += w
+    if den == 0.0:
+        return window_mean(rows, key)
+    return num / den
+
+
 def summarize(rows: list[dict], points: int) -> list[dict]:
     """Split the run into `points` contiguous step windows; report each
     window's end step and windowed means."""
@@ -50,9 +65,9 @@ def summarize(rows: list[dict], points: int) -> list[dict]:
         out.append(
             {
                 "step": win[-1]["global_step"],
-                "goal_rate": window_mean(win, "perc_goal_achieved"),
-                "collision_rate": window_mean(win, "perc_collisions"),
-                "off_road": window_mean(win, "perc_off_road"),
+                "goal_rate": episode_weighted_mean(win, "perc_goal_achieved"),
+                "collision_rate": episode_weighted_mean(win, "perc_collisions"),
+                "off_road": episode_weighted_mean(win, "perc_off_road"),
                 "entropy": window_mean(win, "entropy"),
                 "sps": window_mean(win, "controlled_agent_sps"),
             }
