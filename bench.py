@@ -78,25 +78,41 @@ def bench_train(args):
     policy, variables, opt_state, carry, fresh, train_fn = build_trainer(
         env, ppo_cfg, seed=0, rollout_mode=args.rollout_mode,
         iters_per_dispatch=args.iters_per_dispatch,
+        packed_io=args.packed_io,
     )
     iters = 2 if args.smoke else args.train_iters
 
-    def run(variables, opt_state, carry, key):
-        carry = carry._replace(rng=key)
-        samples = jnp.float32(0)
-        for _ in range(iters):
-            variables, opt_state, carry, metrics = train_fn(
-                env.scene, variables, opt_state, carry, fresh,
-                env.reward_weights,
-            )
-            # with --iters-per-dispatch K, metrics carry a leading [K] axis
-            samples = samples + metrics["samples"].sum()
-            # Serialize iterations: queueing several giant train programs
-            # lets their HLO temporaries coexist in HBM and faults the
-            # worker (observed at W=128); one block per iteration bounds
-            # in-flight memory at negligible timing cost.
-            jax.block_until_ready(samples)
-        return variables, opt_state, carry, float(samples)
+    if args.packed_io:
+        # train_fn is a PackedTrainer: state stays on-device as per-dtype
+        # packed buffers; the bench only reseeds the rng per repetition and
+        # accumulates the consumed-samples scalar from the metrics vector.
+        samples_row = train_fn.metric_names.index("samples")
+
+        def run(variables, opt_state, carry, key):
+            train_fn.replace_carry(rng=key)
+            samples = jnp.float32(0)
+            for _ in range(iters):
+                mvec = train_fn.step_raw(env.reward_weights)
+                samples = samples + mvec[samples_row].sum()
+                jax.block_until_ready(samples)
+            return variables, opt_state, carry, float(samples)
+    else:
+        def run(variables, opt_state, carry, key):
+            carry = carry._replace(rng=key)
+            samples = jnp.float32(0)
+            for _ in range(iters):
+                variables, opt_state, carry, metrics = train_fn(
+                    env.scene, variables, opt_state, carry, fresh,
+                    env.reward_weights,
+                )
+                # with --iters-per-dispatch K, metrics have a leading [K] axis
+                samples = samples + metrics["samples"].sum()
+                # Serialize iterations: queueing several giant train programs
+                # lets their HLO temporaries coexist in HBM and faults the
+                # worker (observed at W=128); one block per iteration bounds
+                # in-flight memory at negligible timing cost.
+                jax.block_until_ready(samples)
+            return variables, opt_state, carry, float(samples)
 
     variables, opt_state, carry, _ = run(
         variables, opt_state, carry, jax.random.PRNGKey(0)
@@ -183,6 +199,10 @@ def main():
                         "(--train, scan/unroll modes): amortizes the remote "
                         "runtime's per-dispatch handle overhead (~227 "
                         "handles/iteration)")
+    p.add_argument("--packed-io", action="store_true",
+                   help="keep train state in per-dtype packed device "
+                        "buffers: ~12 handles per dispatch instead of ~227 "
+                        "(--train, scan/unroll modes)")
     p.add_argument("--rollout-mode",
                    choices=["scan", "unroll", "loop", "dispatch"],
                    default="unroll",

@@ -32,9 +32,100 @@ from gpudrive_lab_tpu.networks.late_fusion import (
 from gpudrive_lab_tpu.ppo.ppo import EnvCarry, PPOConfig, make_ppo_funcs
 
 
+class PackedTrainer:
+    """Train-step dispatcher that keeps ALL state as per-dtype packed device
+    buffers, so one dispatch moves ~12 handles instead of ~227.
+
+    On the axon remote runtime a jit call costs ~0.5-1 s per ~100 pytree
+    argument/result handles regardless of compute (docs/PERFORMANCE.md);
+    (variables, opt_state, carry) and (scene, fresh) are therefore packed
+    into one flat buffer per dtype (utils/packing.py) that never leaves the
+    device between iterations, and per-iteration metrics return as a single
+    stacked float32 vector.  Metric values are exact in float32 here:
+    "samples" tops out at W*compact*T*K << 2^24.
+
+    Host round trips (unpack/repack) happen only on checkpoint, scene
+    resample, and explicit rng reseeding.
+    """
+
+    def __init__(self, step_fn, ppo_config, scene, variables, opt_state,
+                 carry, fresh, reward_weights):
+        from gpudrive_lab_tpu.utils.packing import make_packer
+
+        self._config = ppo_config
+        self._pack_env, self._unpack_env = make_packer((scene, fresh))
+        self._pack_state, self._unpack_state = make_packer(
+            (variables, opt_state, carry)
+        )
+        out = jax.eval_shape(
+            step_fn, scene, variables, opt_state, carry, fresh,
+            reward_weights, jnp.float32(0),
+        )
+        self.metric_names = tuple(sorted(out[3]))
+
+        unpack_env, unpack_state = self._unpack_env, self._unpack_state
+        pack_state, names = self._pack_state, self.metric_names
+
+        def packed_step(env_p, state_p, reward_weights, ent_coef):
+            scene, fresh = unpack_env(env_p)
+            variables, opt_state, carry = unpack_state(state_p)
+            variables, opt_state, carry, metrics = step_fn(
+                scene, variables, opt_state, carry, fresh,
+                reward_weights, ent_coef,
+            )
+            mvec = jnp.stack(
+                [jnp.asarray(metrics[k], jnp.float32) for k in names]
+            )
+            return pack_state((variables, opt_state, carry)), mvec
+
+        self._fn = jax.jit(packed_step, donate_argnums=(1,))
+        self._env_p = jax.jit(self._pack_env)((scene, fresh))
+        self._state_p = jax.jit(self._pack_state)(
+            (variables, opt_state, carry)
+        )
+
+    def step_raw(self, reward_weights, ent_coef=None):
+        """One train iteration; returns the stacked [M] (or [M, K]) metrics
+        vector still on device, ordered by ``self.metric_names``."""
+        if ent_coef is None:
+            ent_coef = self._config.ent_coef
+        self._state_p, mvec = self._fn(
+            self._env_p, self._state_p, reward_weights,
+            jnp.float32(ent_coef),
+        )
+        return mvec
+
+    def step(self, reward_weights, ent_coef=None):
+        """One train iteration; returns {metric: numpy value} (one host
+        fetch for the whole vector)."""
+        mvec = np.asarray(self.step_raw(reward_weights, ent_coef))
+        return dict(zip(self.metric_names, mvec))
+
+    def unpack_state(self):
+        """-> (variables, opt_state, carry) as ordinary pytrees."""
+        return jax.jit(self._unpack_state)(self._state_p)
+
+    def set_state(self, variables, opt_state, carry):
+        self._state_p = jax.jit(self._pack_state)(
+            (variables, opt_state, carry)
+        )
+
+    def set_env(self, scene, fresh, carry=None):
+        """Swap the scene batch (and optionally reset the env carry)."""
+        self._env_p = jax.jit(self._pack_env)((scene, fresh))
+        if carry is not None:
+            variables, opt_state, _ = self.unpack_state()
+            self.set_state(variables, opt_state, carry)
+
+    def replace_carry(self, **kw):
+        variables, opt_state, carry = self.unpack_state()
+        self.set_state(variables, opt_state, carry._replace(**kw))
+
+
 def build_trainer(env: GPUDriveTPUEnv, ppo_config: PPOConfig,
                   policy_config: PolicyConfig | None = None, seed: int = 42,
-                  rollout_mode: str = "scan", iters_per_dispatch: int = 1):
+                  rollout_mode: str = "scan", iters_per_dispatch: int = 1,
+                  packed_io: bool = False):
     """Returns (policy, variables, opt_state, carry, fresh, train_fn).
 
     rollout_mode 'scan' jits the whole iteration; 'unroll' also jits the
@@ -52,6 +143,9 @@ def build_trainer(env: GPUDriveTPUEnv, ppo_config: PPOConfig,
     K-fold at the price of a K-fold longer (one-time, cached) compile."""
     import dataclasses as _dc
 
+    assert not (packed_io and rollout_mode in ("dispatch", "loop")), (
+        "--packed-io requires a single-program rollout mode (scan/unroll)"
+    )
     if rollout_mode == "unroll":
         ppo_config = _dc.replace(ppo_config, unroll=True)
     if ppo_config.compact:
@@ -103,6 +197,12 @@ def build_trainer(env: GPUDriveTPUEnv, ppo_config: PPOConfig,
                     stacked.append(m)
                 metrics = jax.tree.map(lambda *xs: jnp.stack(xs), *stacked)
                 return variables, opt_state, carry, metrics
+        if packed_io:
+            train_fn = PackedTrainer(
+                step_fn, ppo_config, env.scene, variables, opt_state,
+                carry, fresh, env.reward_weights,
+            )
+            return policy, variables, opt_state, carry, fresh, train_fn
         # Donate params/opt/carry buffers (carry holds a copy of `fresh`,
         # which is passed separately and must stay alive across iterations).
         train_fn = jax.jit(step_fn, donate_argnums=(1, 2, 3))
@@ -132,6 +232,11 @@ def main():
                         "(scan/unroll only): amortizes the remote runtime's "
                         "per-dispatch handle overhead; metrics/entropy "
                         "control then act per dispatch")
+    p.add_argument("--packed-io", action="store_true",
+                   help="keep train state as per-dtype packed device "
+                        "buffers so each dispatch moves ~12 handles instead "
+                        "of ~227 (scan/unroll only; targets the remote "
+                        "runtime's per-handle dispatch overhead)")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. 'cpu' for local smoke "
                         "runs — JAX_PLATFORMS alone is overridden by the "
@@ -195,6 +300,7 @@ def main():
     policy, variables, opt_state, carry, fresh, train_fn = build_trainer(
         env, ppo_cfg, seed=args.seed, rollout_mode=args.rollout_mode,
         iters_per_dispatch=args.iters_per_dispatch,
+        packed_io=args.packed_io,
     )
 
     ckpt_dir = Path(args.checkpoint_path)
@@ -208,6 +314,8 @@ def main():
         if "opt_state" in ckpt:  # restore Adam moments too
             opt_state = jax.tree.map(jnp.asarray, ckpt["opt_state"])
         start_step = int(ckpt.get("global_step", 0))
+        if args.packed_io:
+            train_fn.set_state(variables, opt_state, carry)
         print(json.dumps({"resumed_from": start_step}), flush=True)
 
     from gpudrive_lab_tpu.utils.logging import MetricsLogger
@@ -242,17 +350,22 @@ def main():
                         ),
                         rng=carry.rng,
                     )
+                    if args.packed_io:
+                        train_fn.set_env(env.scene, fresh, carry)
                 resampled_at = global_step
             with profile.phase("learn"):
-                variables, opt_state, carry, metrics = train_fn(
-                    env.scene, variables, opt_state, carry, fresh,
-                    env.reward_weights, jnp.float32(ent_coef),
-                )
                 # ONE batched device->host fetch (per-key np.asarray would
                 # be |metrics| blocking round trips on remote runtimes).
                 # With iters_per_dispatch>1 each value is [K]; samples sum
                 # over the fold, everything else is reported as its mean.
-                fetched = jax.device_get(metrics)
+                if args.packed_io:
+                    fetched = train_fn.step(env.reward_weights, ent_coef)
+                else:
+                    variables, opt_state, carry, metrics = train_fn(
+                        env.scene, variables, opt_state, carry, fresh,
+                        env.reward_weights, jnp.float32(ent_coef),
+                    )
+                    fetched = jax.device_get(metrics)
                 samples = int(np.sum(fetched.pop("samples")))
                 m = {k: float(np.mean(v)) for k, v in fetched.items()}
                 # Episode stats only exist on iterations whose rollout
@@ -304,6 +417,8 @@ def main():
                 )
             if (iteration // args.checkpoint_interval
                     != prev_iteration // args.checkpoint_interval):
+                if args.packed_io:
+                    variables, opt_state, carry = train_fn.unpack_state()
                 with open(ckpt_dir / "policy.pkl", "wb") as f:
                     pickle.dump(
                         {

@@ -42,6 +42,7 @@ EOF
     --compact 64 --obs-store bf16 --rollout-mode unroll \
     --entropy-floor "${ENTROPY_FLOOR:-0.8}" --ent-coef 1e-3 \
     --iters-per-dispatch "${ITERS_PER_DISPATCH:-1}" \
+    ${PACKED_IO:+--packed-io} \
     --resample-interval "${RESAMPLE_INTERVAL:-0}" \
     --checkpoint-interval 25 \
     --total-timesteps "$TARGET" \

@@ -36,5 +36,12 @@ run train_w64_k4 10800 python bench.py --train --worlds 64 --rollout-len 32 \
     --num-minibatches 16 --compact 64 --obs-store bf16 \
     --rollout-mode unroll --iters-per-dispatch 4 --train-iters 2 --repeats 2
 
+# 3. packed-io point: ~12 handles per dispatch instead of ~227 — if the
+#    tunnel's per-handle dispatch cost still dominates after K-folding,
+#    this is the winning campaign config (PACKED_IO=1 ppo_campaign.sh)
+run train_w64_packed 10800 python bench.py --train --worlds 64 \
+    --rollout-len 32 --num-minibatches 16 --compact 64 --obs-store bf16 \
+    --rollout-mode unroll --packed-io --train-iters 4 --repeats 2
+
 echo "runbook complete ($(date)); launch scripts/ppo_campaign.sh next" \
   | tee -a "$LOG/runbook.log"
