@@ -56,6 +56,12 @@ class PPOConfig:
     ent_coef: float = 1e-4
     vf_coef: float = 0.3
     max_grad_norm: float = 0.5
+    # World-clock value the in-graph auto-reset restores.  Non-zero when
+    # the env warms episodes up with init_steps of expert log playback
+    # (reference: env_torch.py:403-451 + ppo_base_puffer.yaml init_steps=11);
+    # the blended `fresh` state must then be the t=init_steps state and the
+    # log-indexed reward shaping must restart its clock there too.
+    reset_time_step: int = 0
     # Store per-step SimStates in the rollout and REMATERIALIZE flat
     # observations inside the update instead of storing them.  The obs
     # tensor dominates rollout memory ([T, W, A, 3368] f32 = 7 GB at
@@ -254,7 +260,7 @@ def make_ppo_funcs(
                 world_done.reshape((-1,) + (1,) * (s.ndim - 1)), f, s
             )
             state = jax.tree.map(blend, fresh, state)
-            wts = jnp.where(world_done, 0, wts_mid)
+            wts = jnp.where(world_done, config.reset_time_step, wts_mid)
             return EnvCarry(state, wts, rng), t
 
         return body

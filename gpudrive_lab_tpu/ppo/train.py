@@ -32,6 +32,31 @@ from gpudrive_lab_tpu.networks.late_fusion import (
 from gpudrive_lab_tpu.ppo.ppo import EnvCarry, PPOConfig, make_ppo_funcs
 
 
+def make_fresh(env: GPUDriveTPUEnv):
+    """The in-graph auto-reset's blend target: the t=0 reset state, advanced
+    by ``init_steps`` of expert log playback when configured (reference:
+    env_torch.py:403-451 applies the warmup on every reset;
+    ppo_base_puffer.yaml trains with init_steps=11)."""
+    fresh = jax.jit(stepmod.reset, static_argnames="params")(
+        env.scene, None, env.params
+    )
+    k = env.config.init_steps
+    if k:
+        from gpudrive_lab_tpu.env.env_jax import (
+            _expert_actions,
+            _slice_t,
+            _step_with_values,
+        )
+
+        expert_actions = _expert_actions(env.scene, env.config.dynamics_model)[0]
+        wts = jnp.zeros(env.num_worlds, jnp.int32)
+        for t in range(k):
+            fresh, wts = _step_with_values(
+                env.scene, fresh, wts, _slice_t(expert_actions, t), env.params
+            )
+    return fresh
+
+
 class PackedTrainer:
     """Train-step dispatcher that keeps ALL state as per-dtype packed device
     buffers, so one dispatch moves ~12 handles instead of ~227.
@@ -148,6 +173,10 @@ def build_trainer(env: GPUDriveTPUEnv, ppo_config: PPOConfig,
     )
     if rollout_mode == "unroll":
         ppo_config = _dc.replace(ppo_config, unroll=True)
+    if env.config.init_steps:
+        ppo_config = _dc.replace(
+            ppo_config, reset_time_step=env.config.init_steps
+        )
     if ppo_config.compact:
         max_ctrl = int(
             np.asarray(env.scene.agents.controlled).sum(axis=1).max()
@@ -171,12 +200,12 @@ def build_trainer(env: GPUDriveTPUEnv, ppo_config: PPOConfig,
     rng = jax.random.PRNGKey(seed)
     example_obs = jnp.zeros((1, policy_config.obs_dim), jnp.float32)
     variables, opt_state = init_fn(rng, env.scene, example_obs)
-    fresh = jax.jit(stepmod.reset, static_argnames="params")(
-        env.scene, None, env.params
-    )
+    fresh = make_fresh(env)
     carry = EnvCarry(
         state=jax.tree.map(jnp.copy, fresh),
-        world_time_steps=jnp.zeros(env.num_worlds, jnp.int32),
+        world_time_steps=jnp.full(
+            env.num_worlds, env.config.init_steps, jnp.int32
+        ),
         rng=rng,
     )
     if rollout_mode == "dispatch":
@@ -241,6 +270,10 @@ def main():
                    help="force a jax platform (e.g. 'cpu' for local smoke "
                         "runs — JAX_PLATFORMS alone is overridden by the "
                         "axon plugin's sitecustomize)")
+    p.add_argument("--init-steps", type=int, default=0,
+                   help="expert log-playback warmup steps applied at every "
+                        "(auto-)reset; the reference trains with 11 "
+                        "(ppo_base_puffer.yaml init_steps)")
     p.add_argument("--ent-coef", type=float, default=1e-4)
     p.add_argument("--entropy-floor", type=float, default=0.0,
                    help="adaptive entropy control: when measured policy "
@@ -286,6 +319,7 @@ def main():
         goal_achieved_weight=1.0,
         dynamics_model="classic",
         collision_behavior="ignore",
+        init_steps=args.init_steps,
     )
     env = GPUDriveTPUEnv(cfg, data_loader=loader)
     ppo_cfg = PPOConfig(rollout_len=args.rollout_len,
@@ -340,13 +374,11 @@ def main():
             ):
                 with profile.phase("env"):
                     env.swap_data_batch()
-                    fresh = jax.jit(stepmod.reset, static_argnames="params")(
-                        env.scene, None, env.params
-                    )
+                    fresh = make_fresh(env)
                     carry = EnvCarry(
                         state=jax.tree.map(jnp.copy, fresh),
-                        world_time_steps=jnp.zeros(
-                            env.num_worlds, jnp.int32
+                        world_time_steps=jnp.full(
+                            env.num_worlds, env.config.init_steps, jnp.int32
                         ),
                         rng=carry.rng,
                     )

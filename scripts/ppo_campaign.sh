@@ -33,7 +33,8 @@ EOF
   fi
   # Hyperparameters mirror ppo_base_puffer.yaml: effective batch
   # W*compact*T = 64*64*32 = 131072 == their batch_size, minibatch
-  # 131072/16 = 8192, update_epochs 4, lr 3e-4, gamma/lambda/clip defaults.
+  # 131072/16 = 8192, update_epochs 4, lr 3e-4, gamma/lambda/clip defaults,
+  # init_steps 11 (episodes start at t=11 after expert log playback).
   # Deviations: ent_coef 1e-3 + entropy floor (their 1e-4 collapsed at ~1M
   # steps in round-1 runs), no resampling (the example batch has 4 unique
   # scenes — swapping re-tiles the same set).
@@ -41,6 +42,7 @@ EOF
     --num-worlds 64 --rollout-len 32 --num-minibatches 16 \
     --compact 64 --obs-store bf16 --rollout-mode unroll \
     --entropy-floor "${ENTROPY_FLOOR:-0.8}" --ent-coef 1e-3 \
+    --init-steps "${INIT_STEPS:-11}" \
     --iters-per-dispatch "${ITERS_PER_DISPATCH:-1}" \
     ${PACKED_IO:+--packed-io} \
     --resample-interval "${RESAMPLE_INTERVAL:-0}" \

@@ -264,3 +264,39 @@ def test_iters_per_dispatch_matches_sequential(trainer):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5
         )
+
+
+def test_init_steps_warmed_reset(trainer):
+    """With init_steps configured, the auto-reset blend target must be the
+    t=init_steps expert-playback state, not the t=0 reset (reference:
+    env_torch.py:403-451, ppo_base_puffer.yaml init_steps=11)."""
+    import dataclasses
+
+    from gpudrive_lab_tpu.ppo.train import make_fresh
+
+    env, _ = trainer
+    cold = make_fresh(env)
+    env.config = dataclasses.replace(env.config, init_steps=11)
+    try:
+        warm = make_fresh(env)
+        _, variables, opt_state, carry, fresh, train_fn = build_trainer(
+            env, PPOConfig(rollout_len=8, num_minibatches=2), seed=5,
+        )
+    finally:
+        env.config = dataclasses.replace(env.config, init_steps=0)
+
+    valid = np.asarray(env.scene.agents.valid)
+    moved = np.abs(
+        np.asarray(warm.pos) - np.asarray(cold.pos)
+    ).max(axis=-1)[valid]
+    assert (moved > 1e-3).any(), "warmup did not advance any agent"
+    # carry starts from the warmed state with the clock at init_steps
+    np.testing.assert_array_equal(np.asarray(carry.world_time_steps), 11)
+    np.testing.assert_allclose(
+        np.asarray(fresh.pos), np.asarray(warm.pos), atol=0, rtol=0
+    )
+    variables, opt_state, carry, metrics = train_fn(
+        env.scene, variables, opt_state, carry, fresh, env.reward_weights
+    )
+    vals = [float(np.asarray(v)) for v in metrics.values()]
+    assert np.isfinite(vals).all()
