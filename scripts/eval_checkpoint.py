@@ -26,6 +26,9 @@ def main():
                    help="independent episodes (fresh resets) to average")
     p.add_argument("--stochastic", action="store_true",
                    help="sample actions instead of argmax")
+    p.add_argument("--init-steps", type=int, default=11,
+                   help="expert log-playback warmup applied at reset; "
+                        "default matches the campaign / reference config")
     p.add_argument("--platform", default=None)
     args = p.parse_args()
 
@@ -59,6 +62,7 @@ def main():
             goal_achieved_weight=1.0,
             dynamics_model="classic",
             collision_behavior="ignore",
+            init_steps=args.init_steps,
         ),
         scene_paths=paths,
     )
