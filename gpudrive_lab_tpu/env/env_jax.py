@@ -323,6 +323,19 @@ def _expert_actions(scene: Scene, model: str):
     return full, ag.traj_pos, ag.traj_vel, ag.traj_yaw, ag.traj_valid
 
 
+def expert_log_playback(scene, state, world_time_steps, params, model, k):
+    """Advance ``state`` by ``k`` steps of expert log playback starting at
+    absolute trajectory time 0 (reference: env_torch.py:1274-1293).  Shared
+    by the env's reset warmup and the PPO trainer's auto-reset target."""
+    expert_actions = _expert_actions(scene, model)[0]
+    for t in range(k):
+        state, world_time_steps = _step_with_values(
+            scene, state, world_time_steps,
+            _slice_t(expert_actions, t), params,
+        )
+    return state, world_time_steps
+
+
 class GPUDriveTPUEnv:
     """Batched multi-world driving env with the reference's API surface
     (reset / step_dynamics / get_obs / get_rewards / get_dones / get_infos /
@@ -690,15 +703,10 @@ class GPUDriveTPUEnv:
     def advance_sim_with_log_playback(self, init_steps: int):
         """Warm-up by stepping experts (reference: env_torch.py:1274-1293).
         Controlled agents replay their inverse actions."""
-        expert_actions, _, _, _, _ = self.get_expert_actions()
-        for t in range(init_steps):
-            self.state, self.world_time_steps = _step_with_values(
-                self.scene,
-                self.state,
-                self.world_time_steps,
-                _slice_t(expert_actions, t),
-                self.params,
-            )
+        self.state, self.world_time_steps = expert_log_playback(
+            self.scene, self.state, self.world_time_steps,
+            self.params, self.config.dynamics_model, init_steps,
+        )
 
     # ----- dataset churn -------------------------------------------------
 

@@ -42,18 +42,12 @@ def make_fresh(env: GPUDriveTPUEnv):
     )
     k = env.config.init_steps
     if k:
-        from gpudrive_lab_tpu.env.env_jax import (
-            _expert_actions,
-            _slice_t,
-            _step_with_values,
-        )
+        from gpudrive_lab_tpu.env.env_jax import expert_log_playback
 
-        expert_actions = _expert_actions(env.scene, env.config.dynamics_model)[0]
-        wts = jnp.zeros(env.num_worlds, jnp.int32)
-        for t in range(k):
-            fresh, wts = _step_with_values(
-                env.scene, fresh, wts, _slice_t(expert_actions, t), env.params
-            )
+        fresh, _ = expert_log_playback(
+            env.scene, fresh, jnp.zeros(env.num_worlds, jnp.int32),
+            env.params, env.config.dynamics_model, k,
+        )
     return fresh
 
 
@@ -75,21 +69,52 @@ class PackedTrainer:
 
     def __init__(self, step_fn, ppo_config, scene, variables, opt_state,
                  carry, fresh, reward_weights):
+        self._step_fn = step_fn
+        self._config = ppo_config
+        self._rw_example = reward_weights
+        self._build_env_side(scene, fresh)
+        self._build_state_side(variables, opt_state, carry)
+        self._build_fn()  # cheap: eval_shape + lazy jit wrapper, no compile
+
+    def _build_env_side(self, scene, fresh):
+        """(Re)build the env packer for the current (scene, fresh) shapes.
+        Called again by set_env when a scene swap changes leaf shapes (e.g.
+        build_scene growing the road bucket) — the packer's static offsets
+        must match the buffers it slices."""
         from gpudrive_lab_tpu.utils.packing import make_packer
 
-        self._config = ppo_config
+        self._env_shapes = jax.tree.map(
+            lambda l: (jnp.shape(l), jnp.asarray(l).dtype), (scene, fresh)
+        )
         self._pack_env, self._unpack_env = make_packer((scene, fresh))
+        self._pack_env_jit = jax.jit(self._pack_env)
+        self._fn = None  # packed_step closes over _unpack_env; rebuild lazily
+        self._env_p = self._pack_env_jit((scene, fresh))
+
+    def _build_state_side(self, variables, opt_state, carry):
+        from gpudrive_lab_tpu.utils.packing import make_packer
+
         self._pack_state, self._unpack_state = make_packer(
             (variables, opt_state, carry)
         )
+        self._pack_state_jit = jax.jit(self._pack_state)
+        self._unpack_state_jit = jax.jit(self._unpack_state)
+        self._state_p = self._pack_state_jit((variables, opt_state, carry))
+
+    def _build_fn(self):
+        scene, fresh = jax.eval_shape(self._unpack_env, self._env_p)
+        variables, opt_state, carry = jax.eval_shape(
+            self._unpack_state, self._state_p
+        )
         out = jax.eval_shape(
-            step_fn, scene, variables, opt_state, carry, fresh,
-            reward_weights, jnp.float32(0),
+            self._step_fn, scene, variables, opt_state, carry, fresh,
+            self._rw_example, jnp.float32(0),
         )
         self.metric_names = tuple(sorted(out[3]))
 
         unpack_env, unpack_state = self._unpack_env, self._unpack_state
         pack_state, names = self._pack_state, self.metric_names
+        step_fn = self._step_fn
 
         def packed_step(env_p, state_p, reward_weights, ent_coef):
             scene, fresh = unpack_env(env_p)
@@ -104,14 +129,12 @@ class PackedTrainer:
             return pack_state((variables, opt_state, carry)), mvec
 
         self._fn = jax.jit(packed_step, donate_argnums=(1,))
-        self._env_p = jax.jit(self._pack_env)((scene, fresh))
-        self._state_p = jax.jit(self._pack_state)(
-            (variables, opt_state, carry)
-        )
 
     def step_raw(self, reward_weights, ent_coef=None):
         """One train iteration; returns the stacked [M] (or [M, K]) metrics
         vector still on device, ordered by ``self.metric_names``."""
+        if self._fn is None:
+            self._build_fn()
         if ent_coef is None:
             ent_coef = self._config.ent_coef
         self._state_p, mvec = self._fn(
@@ -128,19 +151,33 @@ class PackedTrainer:
 
     def unpack_state(self):
         """-> (variables, opt_state, carry) as ordinary pytrees."""
-        return jax.jit(self._unpack_state)(self._state_p)
+        return self._unpack_state_jit(self._state_p)
 
     def set_state(self, variables, opt_state, carry):
-        self._state_p = jax.jit(self._pack_state)(
-            (variables, opt_state, carry)
-        )
+        self._state_p = self._pack_state_jit((variables, opt_state, carry))
 
     def set_env(self, scene, fresh, carry=None):
-        """Swap the scene batch (and optionally reset the env carry)."""
-        self._env_p = jax.jit(self._pack_env)((scene, fresh))
+        """Swap the scene batch (and optionally reset the env carry).
+        Rebuilds the env packer (and the jitted step) if the swap changed
+        any leaf shape — stale static offsets would silently misalign every
+        leaf after the resized one."""
+        new_shapes = jax.tree.map(
+            lambda l: (jnp.shape(l), jnp.asarray(l).dtype), (scene, fresh)
+        )
+        if new_shapes != self._env_shapes:
+            self._build_env_side(scene, fresh)
+        else:
+            self._env_p = self._pack_env_jit((scene, fresh))
         if carry is not None:
             variables, opt_state, _ = self.unpack_state()
             self.set_state(variables, opt_state, carry)
+
+    @property
+    def current_rng(self):
+        """The live on-device PRNG key (one small fetch; avoids trusting a
+        stale host-side carry after many packed iterations)."""
+        _, _, carry = self.unpack_state()
+        return carry.rng
 
     def replace_carry(self, **kw):
         variables, opt_state, carry = self.unpack_state()
@@ -380,7 +417,12 @@ def main():
                         world_time_steps=jnp.full(
                             env.num_worlds, env.config.init_steps, jnp.int32
                         ),
-                        rng=carry.rng,
+                        # packed mode: the host-side `carry` is stale (it
+                        # was last unpacked at build/checkpoint time) —
+                        # continue the LIVE on-device rng chain, not an old
+                        # key that would replay consumed exploration noise.
+                        rng=train_fn.current_rng if args.packed_io
+                        else carry.rng,
                     )
                     if args.packed_io:
                         train_fn.set_env(env.scene, fresh, carry)

@@ -37,11 +37,13 @@ def window_mean(rows: list[dict], key: str) -> float | None:
 def episode_weighted_mean(rows: list[dict], key: str) -> float | None:
     """Weight each logged rate by its window's completed-episode count
     (train.py logs episode-windowed rates; rows with episodes=0 carry no
-    information and would otherwise drag the mean toward zero)."""
+    information and would otherwise drag the mean toward zero).  Legacy
+    rows without an episodes field (pre-windowed-logging) are excluded
+    rather than guessed at weight 1."""
     num = den = 0.0
     for r in rows:
         if key in r:
-            w = float(r.get("episodes", 1.0))
+            w = float(r.get("episodes", 0.0))
             num += r[key] * w
             den += w
     if den == 0.0:

@@ -75,8 +75,15 @@ def main():
     )
     mask = np.asarray(env.cont_agent_mask)
 
+    episodes = args.episodes
+    if not args.stochastic and episodes > 1:
+        # argmax actions + deterministic reset -> every episode would be
+        # bit-identical; don't waste rollouts pretending to average
+        print(json.dumps({"note": "deterministic mode: episodes forced to 1"}))
+        episodes = 1
+
     per_ep = []
-    for ep in range(args.episodes):
+    for ep in range(episodes):
         actor._rng = jax.random.PRNGKey(ep)
         m = multi_policy_rollout(env, {"policy": actor}, {"policy": mask})
         per_ep.append(m["policy"])
@@ -86,7 +93,7 @@ def main():
         for k in ("goal_achieved", "collided", "off_road")
     }
     agg.update(
-        episodes=args.episodes,
+        episodes=episodes,
         controlled_agents=int(mask.sum()),
         num_worlds=args.num_worlds,
         deterministic=not args.stochastic,

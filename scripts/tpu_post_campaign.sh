@@ -19,7 +19,7 @@ run() { # name timeout_s cmd...
 run obs_anatomy 5400 python scripts/probe_obs_anatomy.py
 
 # larger-batch train point (amortizes dispatch differently than K-folding)
-run train_w256_k1 10800 python bench.py --train --worlds 256 --rollout-len 32 \
+run train_w256_k1 10800 python bench.py --train --worlds 256 --rollout-len 32 --init-steps 11 \
     --num-minibatches 16 --compact 64 --obs-store bf16 \
     --rollout-mode unroll --train-iters 2 --repeats 2
 

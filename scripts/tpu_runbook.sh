@@ -29,17 +29,17 @@ run sim_headline 3600 python bench.py --repeats 3
 # 2. honest end-to-end train SPS at the campaign config, K=1 then K=4
 #    (compile is slow — minutes to tens of minutes — but persists in the
 #    XLA cache; the timing loop excludes it)
-run train_w64_k1 10800 python bench.py --train --worlds 64 --rollout-len 32 \
+run train_w64_k1 10800 python bench.py --train --worlds 64 --rollout-len 32 --init-steps 11 \
     --num-minibatches 16 --compact 64 --obs-store bf16 \
     --rollout-mode unroll --train-iters 4 --repeats 2
-run train_w64_k4 10800 python bench.py --train --worlds 64 --rollout-len 32 \
+run train_w64_k4 10800 python bench.py --train --worlds 64 --rollout-len 32 --init-steps 11 \
     --num-minibatches 16 --compact 64 --obs-store bf16 \
     --rollout-mode unroll --iters-per-dispatch 4 --train-iters 2 --repeats 2
 
 # 3. packed-io point: ~12 handles per dispatch instead of ~227 — if the
 #    tunnel's per-handle dispatch cost still dominates after K-folding,
 #    this is the winning campaign config (PACKED_IO=1 ppo_campaign.sh)
-run train_w64_packed 10800 python bench.py --train --worlds 64 \
+run train_w64_packed 10800 python bench.py --train --worlds 64 --init-steps 11 \
     --rollout-len 32 --num-minibatches 16 --compact 64 --obs-store bf16 \
     --rollout-mode unroll --packed-io --train-iters 4 --repeats 2
 
