@@ -103,6 +103,50 @@ def test_packed_trainer_matches_unpacked(env):
     )
 
 
+def test_packed_trainer_set_env_reshape(env, example_scene_paths):
+    """set_env with a grown road bucket must rebuild the packer (stale
+    static offsets would misalign every leaf after the resized one) and
+    keep matching the ordinary pytree-argument train_fn step-for-step."""
+    import os as _os
+
+    from gpudrive_lab_tpu.ppo.train import EnvCarry, make_fresh
+
+    cfg = PPOConfig(rollout_len=4, num_minibatches=2)
+    _, _, _, _, _, packed = build_trainer(env, cfg, seed=11, packed_io=True)
+    packed.step(env.reward_weights)
+
+    # same scenes compiled into a larger road bucket -> different leaf shapes
+    env2 = GPUDriveTPUEnv(
+        env.config,
+        data_loader=SceneDataLoader(
+            root=_os.path.dirname(example_scene_paths[0]),
+            batch_size=2, dataset_size=4,
+        ),
+        max_roads=env.scene.max_roads + 256,
+    )
+    assert env2.scene.max_roads != env.scene.max_roads
+    fresh2 = make_fresh(env2)
+    variables, opt_state, old_carry = packed.unpack_state()
+    carry2 = EnvCarry(
+        state=jax.tree.map(jnp.copy, fresh2),
+        world_time_steps=jnp.zeros(env2.num_worlds, jnp.int32),
+        rng=old_carry.rng,
+    )
+    packed.set_env(env2.scene, fresh2, carry2)
+    fetched = packed.step(env2.reward_weights)
+
+    _, _, _, _, _, train_fn = build_trainer(env2, cfg, seed=11)
+    _, _, _, metrics = train_fn(
+        env2.scene, variables, opt_state, carry2, fresh2,
+        env2.reward_weights,
+    )
+    for k in metrics:
+        np.testing.assert_allclose(
+            float(np.asarray(metrics[k])), float(fetched[k]),
+            atol=1e-5, rtol=1e-5, err_msg=k,
+        )
+
+
 def test_packed_trainer_checkpoint_paths(env):
     """set_state after unpack_state must be a fixed point, and replace_carry
     must only touch the requested field."""
