@@ -176,6 +176,91 @@ def _pb_scenario(scenario_id, with_tl=False):
     return sc
 
 
+def _wire_varint(v):
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        out.append(b | (0x80 if v else 0))
+        if not v:
+            return bytes(out)
+
+
+def _wire_field(num, wire_type, payload):
+    return _wire_varint((num << 3) | wire_type) + payload
+
+
+def _wire_len(num, payload):
+    return _wire_field(num, 2, _wire_varint(len(payload)) + payload)
+
+
+def _wire_double(num, v):
+    import struct
+    return _wire_field(num, 1, struct.pack("<d", v))
+
+
+def test_vendored_proto_matches_official_wire_numbers():
+    """Parse a Scenario payload HAND-ENCODED with the official WOMD field
+    numbers (scenario.proto: timestamps_seconds=1, current_time_index=2,
+    tracks=3, dynamic_map_states=4, scenario_id=5, map_features=6,
+    sdc_track_index=7, objects_of_interest=8, tracks_to_predict=10).
+    Guards against the vendored schema drifting from the public one — a
+    round-trip through the vendored pb2 alone cannot catch that, since
+    wrong numbers serialize and re-parse self-consistently."""
+    import struct
+
+    from gpudrive_lab_tpu.data_utils.waymo_protos import scenario_lite_pb2 as pb
+
+    state = (
+        _wire_double(2, 12.5)            # center_x
+        + _wire_field(5, 5, struct.pack("<f", 4.5))   # length
+        + _wire_field(11, 0, b"\x01")    # valid
+    )
+    track = (
+        _wire_field(1, 0, _wire_varint(7))   # id
+        + _wire_field(2, 0, _wire_varint(1))  # object_type = vehicle
+        + _wire_len(3, state)
+    )
+    point = _wire_double(1, 1.0) + _wire_double(2, 2.0)
+    road_edge = _wire_field(1, 0, b"\x01") + _wire_len(2, point)
+    feature = _wire_field(1, 0, _wire_varint(42)) + _wire_len(5, road_edge)
+    lane_state = (
+        _wire_field(1, 0, _wire_varint(11)) + _wire_field(2, 0, b"\x03")
+    )
+    dms = _wire_len(1, lane_state)
+    ttp = _wire_field(1, 0, b"\x00") + _wire_field(2, 0, b"\x01")
+
+    payload = (
+        _wire_double(1, 0.0)                     # timestamps_seconds
+        + _wire_field(2, 0, _wire_varint(10))    # current_time_index
+        + _wire_len(3, track)                    # tracks
+        + _wire_len(4, dms)                      # dynamic_map_states
+        + _wire_len(5, b"wire-check")            # scenario_id
+        + _wire_len(6, feature)                  # map_features
+        + _wire_field(7, 0, _wire_varint(0))     # sdc_track_index
+        + _wire_field(8, 0, _wire_varint(7))     # objects_of_interest
+        + _wire_len(10, ttp)                     # tracks_to_predict
+    )
+    sc = pb.Scenario()
+    sc.ParseFromString(payload)
+    assert sc.scenario_id == "wire-check"
+    assert sc.current_time_index == 10
+    assert sc.sdc_track_index == 0
+    assert list(sc.objects_of_interest) == [7]
+    assert len(sc.tracks) == 1 and sc.tracks[0].id == 7
+    assert sc.tracks[0].object_type == 1
+    assert sc.tracks[0].states[0].center_x == 12.5
+    assert sc.tracks[0].states[0].length == 4.5
+    assert sc.tracks[0].states[0].valid
+    assert len(sc.map_features) == 1 and sc.map_features[0].id == 42
+    assert sc.map_features[0].WhichOneof("feature_data") == "road_edge"
+    assert sc.map_features[0].road_edge.polyline[0].x == 1.0
+    assert len(sc.dynamic_map_states) == 1
+    assert sc.dynamic_map_states[0].lane_states[0].lane == 11
+    assert sc.dynamic_map_states[0].lane_states[0].state == 3
+    assert sc.tracks_to_predict[0].difficulty == 1
+
+
 def test_tfrecord_pipeline_end_to_end(tmp_path):
     """Synthesized Scenario protos -> TFRecord shard -> CLI conversion ->
     valid JSONs -> compiled, steppable Scene.  Exercises the real framing
