@@ -121,29 +121,31 @@ class SB3MultiAgentEnv:
         sb3_wrapper.py:288-318): off_road / veh_collisions /
         non_veh_collision / goal_achieved sums, the controlled-agent count,
         and `truncated` = agents that survived to the episode's time limit
-        (world at the final step, not dead before it)."""
-        from gpudrive_lab_tpu import constants as C
-
+        (world at the final step, not dead before it).  The time-limit
+        signal is per-agent ``steps_remaining == 0``: the sim decrements it
+        every step for every valid agent, so it hits zero exactly when the
+        episode clock runs out and stays positive in worlds that finished
+        early (all agents done before the limit).  The env's
+        ``world_time_steps`` is NOT usable here — it freezes as soon as any
+        agent in the world is done, so it never reaches the limit."""
         state = self.env.state
         mask = self.controlled_mask[done_world_ids]
 
         def agg(x):
             return float(np.asarray(x)[done_world_ids][mask].sum())
 
+        flat_worlds = self.flat_ids // self.max_agent_count
+        in_done_world = np.isin(flat_worlds, done_world_ids)
         at_limit = (
-            np.asarray(self.env.world_time_steps) >= C.EPISODE_LEN
-        )[done_world_ids]
-        in_done_world = np.repeat(
-            np.isin(np.arange(self.num_worlds), done_world_ids[at_limit]),
-            self.max_agent_count,
-        )[self.flat_ids]
+            np.asarray(state.steps_remaining).reshape(-1)[self.flat_ids] == 0
+        )
         self.info_dict = {
             "off_road": agg(state.collided_road),
             "veh_collisions": agg(state.collided_vehicle),
             "non_veh_collision": agg(state.collided_non_vehicle),
             "goal_achieved": agg(state.reached_goal),
             "num_controlled_agents": int(mask.sum()),
-            "truncated": int((~prev_dead & in_done_world).sum()),
+            "truncated": int((~prev_dead & in_done_world & at_limit).sum()),
         }
 
     def render_env(self) -> None:

@@ -89,8 +89,8 @@ def test_sb3_info_dict_at_episode_end(example_scene_paths):
         loader,
     )
     env.reset()
-    for _ in range(91):  # time-limit truncation ends every world
-        env.step(np.zeros(env.num_envs, np.int64))
+    for i in range(91):  # time-limit truncation ends every world
+        _, _, _, infos = env.step(np.zeros(env.num_envs, np.int64))
         if env.num_episodes:
             break
     assert env.num_episodes >= 1
@@ -102,6 +102,14 @@ def test_sb3_info_dict_at_episode_end(example_scene_paths):
     # terminal-event counts and survivors are bounded by the agent count
     assert 0 <= env.info_dict["goal_achieved"] <= n
     assert 0 <= env.info_dict["truncated"] <= n
+    if i == 90 and env.num_episodes == env.num_worlds:
+        # every world ran the full episode, so every controlled agent that
+        # was still alive before the final step is a truncation (the
+        # reference's "done without reward" counter) — the exact count, not
+        # just a bound.  Regression for world_time_steps freezing below the
+        # limit, which pinned this counter at 0.
+        survivors = sum(not d["dead"] for d in infos)
+        assert env.info_dict["truncated"] == survivors > 0
 
 
 def test_sb3_render_videos(example_scene_paths, tmp_path):
