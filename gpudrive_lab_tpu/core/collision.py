@@ -60,16 +60,6 @@ def _road_allowed(agent_etype: jnp.ndarray, road_etype: jnp.ndarray) -> jnp.ndar
     return jnp.where(is_vehicle, veh_ok, other_ok)
 
 
-def _morton_spread16(n: jnp.ndarray) -> jnp.ndarray:
-    """Spread the low 16 bits of int32 ``n`` into even bit positions."""
-    n = n & 0xFFFF
-    n = (n | (n << 8)) & 0x00FF00FF
-    n = (n | (n << 4)) & 0x0F0F0F0F
-    n = (n | (n << 2)) & 0x33333333
-    n = (n | (n << 1)) & 0x55555555
-    return n
-
-
 def _tiled_road_hits(
     scene: Scene, state: SimState, active: jnp.ndarray, half: jnp.ndarray
 ) -> jnp.ndarray:
@@ -103,13 +93,15 @@ def _tiled_road_hits(
         axis=-1,
     )  # [W, A, 8]
 
+    from gpudrive_lab_tpu.scene.rtiles import MORTON_CELLS, morton_interleave
+
     q = jnp.clip(
         (state.pos - rt.world_min[:, None]) * rt.world_inv_ext[:, None]
-        * 1024.0,
+        * MORTON_CELLS,
         0.0,
-        1023.0,
+        MORTON_CELLS - 1.0,
     ).astype(jnp.int32)
-    key = _morton_spread16(q[..., 0]) | (_morton_spread16(q[..., 1]) << 1)
+    key = morton_interleave(q[..., 0]) | (morton_interleave(q[..., 1]) << 1)
     key = jnp.where(active, key, jnp.int32(1) << 30)
     perm = jnp.argsort(key, axis=1)  # [W, A]
     inv_perm = jnp.argsort(perm, axis=1)

@@ -65,7 +65,8 @@ def self_observation(
 
 
 def partner_observations(
-    scene: Scene, state: SimState, params: Params, ego_idx=None
+    scene: Scene, state: SimState, params: Params, ego_idx=None,
+    with_static: bool = False,
 ) -> jnp.ndarray:
     """[W, A, A-1, 9]: speed, ego-frame rel pos(2), rel heading, size(3),
     type, id (reference: src/sim.cpp:188-240).  Out-of-radius partners are
@@ -78,7 +79,13 @@ def partner_observations(
     [W, A, A, 9] intermediate (HBM traffic matters: this runs every step).
 
     ego_idx [W, C] restricts the EGO axis; partners still span all other
-    agents (slot k of ego i reads agent k + (k >= i))."""
+    agents (slot k of ego i reads agent k + (k >= i)).
+
+    with_static=True additionally returns the other agent's raw static
+    flag [W, A, A-1] bool (unmasked — the partner-mask semantics in
+    env_jax.flat_observation need it even for out-of-radius slots).  It
+    rides the same packed gather as a 10th channel, so callers avoid a
+    second A-1-wide gather of agents.static."""
     agents = scene.agents
     A = state.pos.shape[1]
     esel = lambda x: _ego_take(x, ego_idx)
@@ -107,17 +114,17 @@ def partner_observations(
     # ONE packed gather instead of six per-attribute gathers: each gather is
     # its own (slow) HLO on TPU, and the gathered values are small ints/floats
     # that are exact in f32, so packing first changes nothing numerically.
-    packed = jnp.concatenate(
-        [
-            state.pos,                                    # 0:2
-            state.speed[..., None],                       # 2
-            state.yaw[..., None],                         # 3
-            agents.size,                                  # 4:7
-            agents.etype.astype(jnp.float32)[..., None],  # 7
-            agents.aid.astype(jnp.float32)[..., None],    # 8
-        ],
-        axis=-1,
-    )  # [W, A, 9]
+    cols = [
+        state.pos,                                    # 0:2
+        state.speed[..., None],                       # 2
+        state.yaw[..., None],                         # 3
+        agents.size,                                  # 4:7
+        agents.etype.astype(jnp.float32)[..., None],  # 7
+        agents.aid.astype(jnp.float32)[..., None],    # 8
+    ]
+    if with_static:
+        cols.append(agents.static.astype(jnp.float32)[..., None])  # 9
+    packed = jnp.concatenate(cols, axis=-1)  # [W, A, 9(+1)]
     sel_p = take(packed)
     o_pos = sel_p[..., 0:2]
     o_speed = sel_p[..., 2]
@@ -161,7 +168,10 @@ def partner_observations(
     # Padded ego rows: PartnerObservation::zero() everywhere (id = -1).
     ego_valid = esel(agents.valid)[:, :, None, None]
     zero_row = jnp.zeros(9, jnp.float32).at[8].set(-1.0)
-    return jnp.where(ego_valid, obs, zero_row)
+    obs = jnp.where(ego_valid, obs, zero_row)
+    if with_static:
+        return obs, sel_p[..., 9] > 0.5
+    return obs
 
 
 def _road_observation_features(

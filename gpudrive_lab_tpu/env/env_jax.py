@@ -89,11 +89,14 @@ def flat_observation(
     # Partner collection only when enabled — it is the most expensive gather
     # and the reference skips it entirely in lidar-only mode
     # (env_torch.py:1224-1272 returns empty masks when partner_obs is off).
-    partner = (
-        obsmod.partner_observations(scene, state, params, ego_idx)
-        if spec.partner_obs
-        else None
-    )
+    # with_static rides the other agent's static flag on the same packed
+    # gather — the partner-mask block below needs it, and a separate
+    # agents.static gather would repeat the all-but-self indexing.
+    partner = other_static = None
+    if spec.partner_obs:
+        partner, other_static = obsmod.partner_observations(
+            scene, state, params, ego_idx, with_static=True
+        )
 
     if spec.ego_state:
         so = obsmod.self_observation(scene, state, ego_idx)
@@ -165,21 +168,6 @@ def flat_observation(
         # matches partner_observations' OtherAgents wiring.
         ids = partner[..., 8]
         feat_sum = jnp.sum(partner[..., :6], axis=-1)
-        A = scene.agents.valid.shape[1]
-        k = jnp.arange(A - 1)
-        if ego_idx is None:
-            src = k[None, :] + (k[None, :] >= jnp.arange(A)[:, None])
-            other_static = scene.agents.static[:, src]
-        else:
-            W, Csub = ego_idx.shape
-            src_w = k[None, None, :] + (
-                k[None, None, :] >= ego_idx[..., None]
-            )
-            other_static = jnp.take_along_axis(
-                scene.agents.static,
-                src_w.reshape(W, Csub * (A - 1)).astype(jnp.int32),
-                axis=1,
-            ).reshape(W, Csub, A - 1)
         partner_mask = jnp.where(
             other_static & (feat_sum != 0), 1, jnp.where(ids <= -1, 2, 0)
         )

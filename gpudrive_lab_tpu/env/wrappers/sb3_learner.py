@@ -295,9 +295,11 @@ class IPPO:
                     self.variables, self.opt_state, jb, k
                 )
                 metrics.append({k2: float(v) for k2, v in aux.items()})
+        # a window where every sample is masked (all rewards nan) yields no
+        # minibatches — report it instead of crashing on metrics[0]
         out = {
             k2: float(np.mean([m[k2] for m in metrics]))
-            for k2 in metrics[0]
+            for k2 in (metrics[0] if metrics else ())
         }
         out["valid_samples"] = self.buffer.num_valid_samples
         return out

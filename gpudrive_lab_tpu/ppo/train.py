@@ -184,6 +184,24 @@ class PackedTrainer:
         self.set_state(variables, opt_state, carry._replace(**kw))
 
 
+def check_compact_capacity(env: GPUDriveTPUEnv, compact: int | None):
+    """Every world's controlled-agent count must fit in the compact slots:
+    overflow agents would silently drive with action_table[0] every step
+    (ctrl_slots keeps only the first `compact` controlled slots, and the
+    rollout's action scatter leaves the rest at index 0) while never
+    entering the loss mask.  Checked at build time AND after every
+    swap_data_batch — a resampled batch can be more crowded than the one
+    the trainer was built against."""
+    if not compact:
+        return
+    max_ctrl = int(np.asarray(env.scene.agents.controlled).sum(axis=1).max())
+    if compact < max_ctrl:
+        raise ValueError(
+            f"compact={compact} would drop controlled agents "
+            f"(scene batch max {max_ctrl} per world)"
+        )
+
+
 def build_trainer(env: GPUDriveTPUEnv, ppo_config: PPOConfig,
                   policy_config: PolicyConfig | None = None, seed: int = 42,
                   rollout_mode: str = "scan", iters_per_dispatch: int = 1,
@@ -208,20 +226,20 @@ def build_trainer(env: GPUDriveTPUEnv, ppo_config: PPOConfig,
     assert not (packed_io and rollout_mode in ("dispatch", "loop")), (
         "--packed-io requires a single-program rollout mode (scan/unroll)"
     )
+    assert not (
+        iters_per_dispatch > 1 and rollout_mode in ("dispatch", "loop")
+    ), (
+        "--iters-per-dispatch requires a single-program rollout mode "
+        "(scan/unroll); in dispatch/loop modes it would be silently "
+        "ignored while the caller's iteration/SPS accounting scales by K"
+    )
     if rollout_mode == "unroll":
         ppo_config = _dc.replace(ppo_config, unroll=True)
     if env.config.init_steps:
         ppo_config = _dc.replace(
             ppo_config, reset_time_step=env.config.init_steps
         )
-    if ppo_config.compact:
-        max_ctrl = int(
-            np.asarray(env.scene.agents.controlled).sum(axis=1).max()
-        )
-        assert ppo_config.compact >= max_ctrl, (
-            f"compact={ppo_config.compact} would drop controlled agents "
-            f"(scene batch max {max_ctrl} per world)"
-        )
+    check_compact_capacity(env, ppo_config.compact)
     policy_config = policy_config or PolicyConfig(
         action_dim=env.action_space_n
     )
@@ -411,6 +429,7 @@ def main():
             ):
                 with profile.phase("env"):
                     env.swap_data_batch()
+                    check_compact_capacity(env, ppo_cfg.compact)
                     fresh = make_fresh(env)
                     carry = EnvCarry(
                         state=jax.tree.map(jnp.copy, fresh),

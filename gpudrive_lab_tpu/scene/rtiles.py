@@ -30,13 +30,25 @@ ROAD_TILE = 256
 TILE_COLLISION_MIN_R = 2048
 
 
-def morton_interleave(n: np.ndarray) -> np.ndarray:
-    """Spread the low 16 bits of ``n`` into even bit positions."""
-    n = n.astype(np.uint32) & np.uint32(0xFFFF)
-    n = (n | (n << 8)) & np.uint32(0x00FF00FF)
-    n = (n | (n << 4)) & np.uint32(0x0F0F0F0F)
-    n = (n | (n << 2)) & np.uint32(0x33333333)
-    n = (n | (n << 1)) & np.uint32(0x55555555)
+# Morton-quantization grid resolution shared by the host-side tile build
+# and the per-step agent sort (core/collision.py) — both must quantize
+# against the same lattice for the tile-skip mask's locality to hold.
+MORTON_CELLS = 1024
+
+
+def morton_interleave(n):
+    """Spread the low 16 bits of ``n`` into even bit positions.
+
+    dtype-generic on purpose: operates on numpy uint32 at scene-compile
+    time (build_road_tiles) and on traced int32 jax arrays in the per-step
+    agent sort (core/collision.py) — one definition keeps the two sort
+    keys bit-identical.  All intermediates stay within 31 bits, so int32
+    is safe."""
+    n = n & 0xFFFF
+    n = (n | (n << 8)) & 0x00FF00FF
+    n = (n | (n << 4)) & 0x0F0F0F0F
+    n = (n | (n << 2)) & 0x33333333
+    n = (n | (n << 1)) & 0x55555555
     return n
 
 
@@ -72,7 +84,8 @@ def build_road_tiles(
         world_inv_ext[w] = 1.0 / ext
 
         q = np.clip(
-            ((centers - lo) / ext * 1024.0).astype(np.int64), 0, 1023
+            ((centers - lo) / ext * MORTON_CELLS).astype(np.int64),
+            0, MORTON_CELLS - 1,
         ).astype(np.uint32)
         key = morton_interleave(q[:, 0]) | (morton_interleave(q[:, 1]) << 1)
         # invalid segments sort last, so pure-padding tiles form at the end

@@ -50,6 +50,8 @@ def main():
         for f in os.listdir(args.scenes_dir)
         if f.endswith(".json")
     )
+    if not paths:
+        raise SystemExit(f"no scene .json files found in {args.scenes_dir}")
     paths = (paths * ((args.num_worlds // len(paths)) + 1))[: args.num_worlds]
     # Mirror the training env configuration (ppo/train.py main): the
     # checkpoint's action head is sized for the classic 13x7 action grid.
