@@ -92,7 +92,11 @@ def make_bodyK(K):
     return lambda k: f(fresh, variables, k)
 
 
-for K in (1, 2, 4, 8):
+import os
+
+QUICK = bool(os.environ.get("QUICK"))  # short TPU windows: 4 programs only
+
+for K in ((1, 4) if QUICK else (1, 2, 4, 8)):
     timeit(f"body{K}", make_bodyK(K))
 
 
@@ -108,7 +112,7 @@ def make_sinN(N):
     return lambda k: f(x0, k)
 
 
-for N in (256, 2048, 8192):
+for N in ((2048,) if QUICK else (256, 2048, 8192)):
     timeit(f"sin{N}", make_sinN(N))
 
 
@@ -124,5 +128,5 @@ def make_mmN(N):
     return lambda k: f(x0, k)
 
 
-for N in (64, 512, 2048):
+for N in ((512,) if QUICK else (64, 512, 2048)):
     timeit(f"mm{N}", make_mmN(N))
