@@ -69,12 +69,35 @@ def main():
         scene_paths=paths,
     )
 
-    actor = PolicyActor(
-        None,
-        checkpoint_path=args.checkpoint,
-        policy_config=PolicyConfig(action_dim=env.action_space_n),
-        deterministic=not args.stochastic,
-    )
+    ck = args.checkpoint
+    if (
+        ck.endswith((".pt", ".bin", ".safetensors"))
+        or (os.path.isdir(ck) and os.path.exists(os.path.join(ck, "model.safetensors")))
+        or (not os.path.exists(ck) and "/" in ck)
+    ):
+        # A reference-trained torch NeuralNet checkpoint (local file, hub
+        # layout dir, or HF repo id) — convert to flax and eval it in the
+        # TPU sim (reference: examples/experimental/eval_utils.py:15,56).
+        from gpudrive_lab_tpu.networks.convert import load_pretrained
+
+        _, variables, pc = load_pretrained(ck)
+        assert pc.action_dim == env.action_space_n, (
+            f"checkpoint action_dim {pc.action_dim} != env "
+            f"{env.action_space_n}"
+        )
+        actor = PolicyActor(
+            None,
+            variables=variables,
+            policy_config=pc,
+            deterministic=not args.stochastic,
+        )
+    else:
+        actor = PolicyActor(
+            None,
+            checkpoint_path=ck,
+            policy_config=PolicyConfig(action_dim=env.action_space_n),
+            deterministic=not args.stochastic,
+        )
     mask = np.asarray(env.cont_agent_mask)
 
     episodes = args.episodes
