@@ -94,7 +94,7 @@ def make_bodyK(K):
 
 import os
 
-QUICK = bool(os.environ.get("QUICK"))  # short TPU windows: 4 programs only
+QUICK = os.environ.get("QUICK", "") not in ("", "0", "false")  # short TPU windows: 4 programs only
 
 for K in ((1, 4) if QUICK else (1, 2, 4, 8)):
     timeit(f"body{K}", make_bodyK(K))

@@ -6,6 +6,7 @@
 # Usage: scripts/r2b_chain.sh <deadline_epoch> [logdir]
 set -u
 DEADLINE=$1
+cd "$(dirname "$0")/.."
 LOG=${2:-bench_logs}
 mkdir -p "$LOG"
 
@@ -18,7 +19,11 @@ run() { # name max_s cmd...
   [ "$budget" -gt "$cap" ] && budget=$cap
   echo "=== $name start $(date +%H:%M:%S) budget=${budget}s ===" >>"$LOG/runbook.log"
   timeout "$budget" "$@" >"$LOG/$name.log" 2>&1
-  echo "--- $name rc=$? $(date +%H:%M:%S)" >>"$LOG/runbook.log"
+  local rc=$?
+  echo "--- $name rc=$rc $(date +%H:%M:%S)" >>"$LOG/runbook.log"
+  if [ "$rc" -ne 0 ] && [ "$rc" -ne 124 ]; then
+    echo "WARN: $name failed rc=$rc (see $LOG/$name.log)"
+  fi
 }
 
 # 1. sim headline: regression check after the packed-gather obs rewrite
