@@ -174,38 +174,46 @@ def partner_observations(
     return obs
 
 
-def _road_observation_features(
-    scene: Scene, state: SimState, ego_idx=None
-) -> tuple:
-    """Ego-frame MapObservation features for all road entities:
-    returns ([W, A, R, 9] features, [W, A, R] dist).  Layout: pos(2),
-    scale(3), heading, type, id, mapType (src/types.hpp:210-234)."""
-    roads = scene.roads
-    ego_pos = _ego_take(state.pos, ego_idx)
-    ego_yaw = _ego_take(state.yaw, ego_idx)
-    rel = roads.pos[:, None, :, 0:2] - ego_pos[:, :, None, :]
-    rel_ego = rotate_into_frame(rel, ego_yaw[:, :, None])
-    dist = jnp.linalg.norm(rel_ego, axis=-1)
-    heading = quat_yaw_diff(ego_yaw[:, :, None], roads.yaw[:, None, :])
-    shape3 = rel_ego.shape[:3]
-    feats = jnp.concatenate(
+def _packed_road_columns(roads) -> jnp.ndarray:
+    """[W, R, 10] attribute pack: pos(2), scale(3), yaw, type, id, mapType,
+    valid.  ONE packed gather of this beats six per-attribute gathers (each
+    gather is its own slow HLO on TPU; measured ~55 ms of the W=64 obs
+    path), and the values are small ints/floats exact in f32."""
+    return jnp.concatenate(
         [
-            rel_ego,
-            jnp.broadcast_to(roads.scale[:, None], shape3 + (3,)),
-            heading[..., None],
-            jnp.broadcast_to(
-                roads.etype[:, None].astype(jnp.float32), shape3
-            )[..., None],
-            jnp.broadcast_to(
-                roads.rid[:, None].astype(jnp.float32), shape3
-            )[..., None],
-            jnp.broadcast_to(
-                roads.map_type[:, None].astype(jnp.float32), shape3
-            )[..., None],
+            roads.pos[..., 0:2],                           # 0:2
+            roads.scale,                                   # 2:5
+            roads.yaw[..., None],                          # 5
+            roads.etype.astype(jnp.float32)[..., None],    # 6
+            roads.rid.astype(jnp.float32)[..., None],      # 7
+            roads.map_type.astype(jnp.float32)[..., None], # 8
+            roads.valid.astype(jnp.float32)[..., None],    # 9
         ],
         axis=-1,
     )
-    return feats, dist
+
+
+def _gather_road_features(packed, idx, ego_pos, ego_yaw):
+    """Gather-then-compute: fetch the [W, A, K] winners' packed columns and
+    only then build the 9-wide ego-frame MapObservation features — the
+    [W, A, R] lattice never materializes 9-wide (the bandwidth hot spot
+    flagged in SURVEY.md §7).  Returns (features [W, A, K, 9],
+    world-frame d2 [W, A, K], valid flag [W, A, K])."""
+    sel_p = jax.vmap(lambda xw, iw: xw[iw])(packed, idx)  # [W, A, K, 10]
+    rel = sel_p[..., 0:2] - ego_pos[:, :, None, :]
+    rel_ego = rotate_into_frame(rel, ego_yaw[:, :, None])
+    heading = quat_yaw_diff(ego_yaw[:, :, None], sel_p[..., 5])
+    sel = jnp.concatenate(
+        [
+            rel_ego,
+            sel_p[..., 2:5],
+            heading[..., None],
+            sel_p[..., 6:9],
+        ],
+        axis=-1,
+    )
+    sel_d2 = jnp.sum(rel * rel, axis=-1)
+    return sel, sel_d2, sel_p[..., 9] > 0.5
 
 
 def agent_map_observations(
@@ -250,39 +258,9 @@ def agent_map_observations(
                 axis=-1,
             )
 
-        # ONE packed gather instead of six per-attribute gathers plus a
-        # take_along_axis over the [W, A, R] score lattice: each gather is
-        # its own (slow) HLO on TPU (measured ~55 ms of the W=64 obs path),
-        # and sel_d2 recomputed from the gathered positions is bitwise
-        # identical to the lattice value (same operands, same op order).
-        packed = jnp.concatenate(
-            [
-                roads.pos[..., 0:2],                          # 0:2
-                roads.scale,                                   # 2:5
-                roads.yaw[..., None],                          # 5
-                roads.etype.astype(jnp.float32)[..., None],    # 6
-                roads.rid.astype(jnp.float32)[..., None],      # 7
-                roads.map_type.astype(jnp.float32)[..., None], # 8
-                roads.valid.astype(jnp.float32)[..., None],    # 9
-            ],
-            axis=-1,
-        )  # [W, R, 10]
-        sel_p = jax.vmap(lambda xw, iw: xw[iw])(packed, idx)  # [W,A,K,10]
-        sel_pos = sel_p[..., 0:2]
-        rel = sel_pos - ego_pos[:, :, None, :]
-        rel_ego = rotate_into_frame(rel, ego_yaw[:, :, None])
-        heading = quat_yaw_diff(ego_yaw[:, :, None], sel_p[..., 5])
-        sel = jnp.concatenate(
-            [
-                rel_ego,
-                sel_p[..., 2:5],
-                heading[..., None],
-                sel_p[..., 6:9],
-            ],
-            axis=-1,
+        sel, sel_d2, sel_valid = _gather_road_features(
+            _packed_road_columns(roads), idx, ego_pos, ego_yaw
         )
-        sel_d2 = jnp.sum(rel * rel, axis=-1)
-        sel_valid = sel_p[..., 9] > 0.5
         if K_eff < K:
             pad = jnp.arange(K) >= K_eff
             sel_valid = sel_valid & ~pad[None, None, :]
@@ -290,26 +268,31 @@ def agent_map_observations(
         # KNN filler: all-zero row including id/mapType (knn.hpp:19-28).
         out = jnp.where(keep[..., None], sel, 0.0)
     else:
-        feats, dist = _road_observation_features(scene, state, ego_idx)
-        within = road_valid & (dist <= params.observation_radius)
-        # Slot index = rank among kept entities, in entity order
-        # (src/sim.cpp:262-276).
-        slot = jnp.cumsum(within, axis=-1) - 1
-        keep = within & (slot < K)
-        tgt = jnp.where(keep, slot, K)  # K = discard bucket
-        out = jnp.zeros(feats.shape[:2] + (K + 1, 9), feats.dtype)
-        out = out.at[
-            jnp.arange(feats.shape[0])[:, None, None],
-            jnp.arange(feats.shape[1])[None, :, None],
-            tgt,
-        ].set(jnp.where(keep[..., None], feats, 0.0))
-        out = out[:, :, :K]
-        # Linear filler: MapObservation::zero() has id=-1, mapType=-1.
-        filled = jnp.arange(K)[None, None, :] < jnp.sum(
-            keep, axis=-1, keepdims=True
+        # LINEAR: slot j gets the (j+1)-th within-radius entity, in entity
+        # order (src/sim.cpp:259-280).  TPU-first formulation: a dense
+        # rank-selection — idx[j] = #{r : cnt[r] < j+1} = first r whose
+        # running within-count reaches j+1 — computed as a regular [K, R]
+        # comparison-reduction, then one packed gather of the winners.
+        # (The previous scatter-into-K+1-buckets formulation cost ~450 ms
+        # per step at W=64 on TPU and materialized the 9-wide [W, A, R]
+        # feature lattice; this one is scatter-free and gathers AFTER
+        # selection, like the KNEAREST branch.)
+        delta = roads.pos[:, None, :, 0:2] - ego_pos[:, :, None, :]
+        d2 = jnp.sum(delta * delta, axis=-1)  # [W, A, R]
+        within = road_valid & (d2 <= params.observation_radius**2)
+        cnt = jnp.cumsum(within.astype(jnp.int32), axis=-1)  # [W, A, R]
+        jj = jnp.arange(1, K + 1, dtype=jnp.int32)
+        idx = jnp.sum(
+            (cnt[..., None, :] < jj[:, None]).astype(jnp.int32), axis=-1
+        )  # [W, A, K]
+        filled = jnp.arange(K)[None, None, :] < cnt[..., -1:]
+        idx = jnp.where(filled, idx, 0)
+        sel, _, _ = _gather_road_features(
+            _packed_road_columns(roads), idx, ego_pos, ego_yaw
         )
-        filler = jnp.zeros(9, feats.dtype).at[7].set(-1.0).at[8].set(-1.0)
-        out = jnp.where(filled[..., None], out, filler)
+        # Linear filler: MapObservation::zero() has id=-1, mapType=-1.
+        filler = jnp.zeros(9, jnp.float32).at[7].set(-1.0).at[8].set(-1.0)
+        out = jnp.where(filled[..., None], sel, filler)
 
     # Padded ego agents: MapObservation::zero() rows
     # (src/level_gen.cpp:315-318).

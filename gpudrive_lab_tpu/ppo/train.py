@@ -347,6 +347,13 @@ def main():
                    default="remat",
                    help="rollout obs handling: rematerialize from stored "
                         "SimStates (min HBM), or store f32/bf16 obs")
+    p.add_argument("--video-interval", type=int, default=0,
+                   help="iterations between rollout videos rendered with "
+                        "the current policy into <checkpoint-path>/videos/ "
+                        "(0=off; reference: env_puffer.py:405-483 wandb "
+                        "video pipeline)")
+    p.add_argument("--video-worlds", type=int, default=1,
+                   help="how many worlds to render per video interval")
     args = p.parse_args()
 
     if args.platform:
@@ -506,6 +513,25 @@ def main():
                         **profile.summary(),
                         **util.summary(),
                     ),
+                    step=global_step,
+                )
+            if args.video_interval and (
+                iteration // args.video_interval
+                != prev_iteration // args.video_interval
+            ):
+                from gpudrive_lab_tpu.visualize.video import (
+                    render_training_videos,
+                )
+
+                if args.packed_io:
+                    variables, opt_state, carry = train_fn.unpack_state()
+                with profile.phase("env"):
+                    paths = render_training_videos(
+                        env, policy, variables, ckpt_dir / "videos",
+                        global_step, num_worlds=args.video_worlds,
+                    )
+                logger.log(
+                    {"videos": paths, "global_step": global_step},
                     step=global_step,
                 )
             if (iteration // args.checkpoint_interval

@@ -74,3 +74,46 @@ def save_video(frames: List[np.ndarray], path: str, fps: int = 15) -> str:
         anim.save(path, writer=animation.PillowWriter(fps=fps))
     plt.close(fig)
     return path
+
+
+def render_training_videos(
+    env,
+    policy,
+    variables,
+    out_dir,
+    global_step: int,
+    num_worlds: int = 1,
+    fmt: str = "gif",
+    max_steps: int = 91,
+) -> List[str]:
+    """Checkpoint-adjacent rollout videos with the CURRENT policy — the
+    training-telemetry hook (reference: gpudrive/env/env_puffer.py:405-483
+    renders rollouts into wandb during training).
+
+    Rolls the env's own (trainer-independent) state with argmax actions and
+    writes one video per world to ``out_dir/world{i}_step{global_step}.gif``.
+    Returns the written paths."""
+    import jax
+    import jax.numpy as jnp
+
+    from pathlib import Path
+
+    apply = jax.jit(policy.apply)
+
+    def policy_fn(obs):
+        logits, _ = apply(variables, jnp.asarray(obs))
+        return np.asarray(jnp.argmax(logits, axis=-1))
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    paths = []
+    for w in range(min(num_worlds, env.num_worlds)):
+        frames = render_rollout(
+            env, policy_fn, env_idx=w, max_steps=max_steps
+        )
+        paths.append(
+            save_video(frames, str(out / f"world{w}_step{global_step}.{fmt}"))
+        )
+    # leave the env freshly reset so later callers see a clean state
+    env.reset()
+    return paths

@@ -93,6 +93,32 @@ timeit("obs_c_partner", mk_obs(cidx, ObsSpec(**{**only, "partner_obs": True})))
 timeit("obs_c_road", mk_obs(cidx, ObsSpec(**{**only, "road_map_obs": True})))
 timeit("obs_d_road", mk_obs(None, ObsSpec(**{**only, "road_map_obs": True})))
 
+# --- road-obs algorithm comparison under compact gather ---------------------
+import dataclasses
+from gpudrive_lab_tpu.core.types import RoadObsAlgorithm
+
+road_spec = ObsSpec(**{**only, "road_map_obs": True})
+p_knn = dataclasses.replace(
+    params, road_obs_algorithm=RoadObsAlgorithm.KNEAREST
+)
+p_knn_approx = dataclasses.replace(p_knn, approx_top_k=True)
+
+
+def mk_obs_p(ego, sp, pp):
+    @jax.jit
+    def f(state, key):
+        state = state.replace(
+            pos=state.pos
+            + jax.random.uniform(key, (), minval=0.0, maxval=1e-6)
+        )
+        obs, _, _ = flat_observation(scene, state, pp, sp, weights, ego)
+        return obs.sum()
+    return lambda k: f(fresh, k)
+
+
+timeit("road_knn_exact", mk_obs_p(cidx, road_spec, p_knn))
+timeit("road_knn_approx", mk_obs_p(cidx, road_spec, p_knn_approx))
+
 # --- layer 3: policy + sample on a CONSTANT obs ----------------------------
 @jax.jit
 def pol_const(obs, key):

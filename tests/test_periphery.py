@@ -170,3 +170,32 @@ def _init_vars(env):
     return policy.init(
         jax.random.PRNGKey(0), jnp.zeros((1, cfg.obs_dim))
     )
+
+
+def test_render_training_videos(example_scene_paths, tmp_path):
+    """Checkpoint-adjacent rollout videos with the current policy — the
+    ppo/train.py --video-interval hook (reference: env_puffer.py:405-483)."""
+    import jax
+
+    from gpudrive_lab_tpu.networks.late_fusion import (
+        LateFusionPolicy,
+        PolicyConfig,
+    )
+    from gpudrive_lab_tpu.visualize.video import render_training_videos
+
+    env = GPUDriveTPUEnv(
+        EnvConfig(num_worlds=1), scene_paths=example_scene_paths[:1]
+    )
+    pc = PolicyConfig(action_dim=env.action_space_n)
+    policy = LateFusionPolicy(pc)
+    variables = policy.init(
+        jax.random.PRNGKey(0), np.zeros((1, pc.obs_dim), np.float32)
+    )
+    paths = render_training_videos(
+        env, policy, variables, tmp_path, global_step=123, max_steps=3
+    )
+    assert len(paths) == 1
+    assert paths[0].endswith("world0_step123.gif")
+    import os
+
+    assert os.path.getsize(paths[0]) > 0
