@@ -354,6 +354,10 @@ def main():
                         "video pipeline)")
     p.add_argument("--video-worlds", type=int, default=1,
                    help="how many worlds to render per video interval")
+    p.add_argument("--dashboard", action="store_true",
+                   help="live rich-console dashboard (reference: "
+                        "integrations/puffer/logging.py); JSONL echo is "
+                        "silenced while it is active")
     args = p.parse_args()
 
     if args.platform:
@@ -417,10 +421,15 @@ def main():
     from gpudrive_lab_tpu.utils.logging import MetricsLogger
     from gpudrive_lab_tpu.utils.profiling import Profile, Utilization
 
-    logger = MetricsLogger(args.checkpoint_path, exp_id="ppo")
+    logger = MetricsLogger(
+        args.checkpoint_path, exp_id="ppo", echo=not args.dashboard
+    )
     profile = Profile()
     util = Utilization()
     util.start()
+    from gpudrive_lab_tpu.utils.dashboard import Dashboard
+
+    dash = Dashboard(args.total_timesteps) if args.dashboard else None
 
     global_step = start_step
     iteration = 0
@@ -428,6 +437,8 @@ def main():
     ent_coef = args.ent_coef
     ep_win_keys = ("perc_goal_achieved", "perc_collisions", "perc_off_road")
     ep_win = dict.fromkeys(("episodes",) + ep_win_keys, 0.0)
+    if dash is not None:
+        dash.__enter__()
     try:
         while global_step < args.total_timesteps:
             if (
@@ -505,16 +516,16 @@ def main():
                 for key in ep_win_keys:
                     m[key] = ep_win[key] / n_ep
                 ep_win = dict.fromkeys(ep_win, 0.0)
-                logger.log(
-                    dict(
-                        iteration=iteration,
-                        global_step=global_step,
-                        **{k: round(v, 5) for k, v in m.items()},
-                        **profile.summary(),
-                        **util.summary(),
-                    ),
-                    step=global_step,
+                rec = dict(
+                    iteration=iteration,
+                    global_step=global_step,
+                    **{k: round(v, 5) for k, v in m.items()},
+                    **profile.summary(),
+                    **util.summary(),
                 )
+                logger.log(rec, step=global_step)
+                if dash is not None:
+                    dash.update(global_step, rec)
             if args.video_interval and (
                 iteration // args.video_interval
                 != prev_iteration // args.video_interval
@@ -549,6 +560,8 @@ def main():
                         f,
                     )
     finally:
+        if dash is not None:
+            dash.__exit__(None, None, None)
         util.stop()
         logger.close()
     print(json.dumps({"final_global_step": global_step}))

@@ -133,3 +133,29 @@ def test_sharded_sim_step_multidevice():
     # outputs inherit the world sharding
     shard_devices = {s.device for s in stepped.pos.addressable_shards}
     assert len(shard_devices) == 8
+
+
+def test_dashboard_renders():
+    """Rich dashboard frame renders the summary + metric columns
+    (reference: integrations/puffer/logging.py:50-164)."""
+    from gpudrive_lab_tpu.utils.dashboard import Dashboard
+
+    dash = Dashboard(total_timesteps=5e7, force=True)
+    text = dash.render_text(
+        1_234_567,
+        {
+            "controlled_agent_sps": 123456.0,
+            "pg_loss": -0.04, "v_loss": 0.2, "entropy": 4.1,
+            "approx_kl": 0.008, "perc_goal_achieved": 0.17,
+            "perc_collisions": 0.001, "perc_off_road": 0.005,
+            "episodes": 12.0, "mean_reward": 0.01,
+            "time_learn_s": 30.0, "time_env_s": 5.0,
+            "cpu_util": 55.0, "mem_util": 3.0,
+        },
+    )
+    assert "1.23M" in text and "50.00M" in text      # steps / total
+    assert "123.46K" in text                          # SPS
+    assert "perc_goal_achieved" in text and "0.170" in text
+    assert "eta" in text
+    # update() is a no-op when not a tty and force shim is off
+    Dashboard(1e6).update(1, {})
