@@ -39,7 +39,8 @@ EOF
   # steps in round-1 runs), no resampling (the example batch has 4 unique
   # scenes — swapping re-tiles the same set).
   timeout "$CHUNK_TIMEOUT" python -m gpudrive_lab_tpu.ppo.train \
-    --num-worlds 64 --rollout-len 32 --num-minibatches 16 \
+    --num-worlds "${NUM_WORLDS:-64}" --rollout-len 32 \
+    --num-minibatches "${NUM_MINIBATCHES:-16}" \
     --compact 64 --obs-store bf16 --rollout-mode unroll \
     --entropy-floor "${ENTROPY_FLOOR:-0.8}" --ent-coef 1e-3 \
     --init-steps "${INIT_STEPS:-11}" \
