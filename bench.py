@@ -184,6 +184,11 @@ def main():
                    help="timing repetitions; best is reported")
     p.add_argument("--grid", action="store_true",
                    help="use the spatial-hash collision path")
+    p.add_argument("--road-obs", choices=["knn", "linear"], default="knn",
+                   help="road-observation algorithm for the benched obs "
+                        "path: KNN top-K (the headline config) or the "
+                        "reference's default first-K-within-radius linear "
+                        "scan (top_k index selection)")
     p.add_argument("--collision-top-k", type=int, default=None,
                    help="prune agent-road SAT to K distance-ranked candidates"
                         " (wins for large --max-roads buckets)")
@@ -267,7 +272,8 @@ def main():
         num_worlds=worlds,
         dynamics_model="classic",
         collision_behavior="ignore",
-        road_obs_algorithm="k_nearest_roadpoints",
+        road_obs_algorithm="k_nearest_roadpoints"
+        if args.road_obs == "knn" else "linear",
         collision_top_k=args.collision_top_k,
         approx_top_k=not args.exact,
         use_collision_grid=args.grid,
