@@ -75,6 +75,8 @@ def bench_train(args):
         obs_store_dtype="bfloat16" if args.obs_store == "bf16"
         else "float32",
         compact=args.compact,
+        policy_dtype="bfloat16" if args.policy_dtype == "bf16"
+        else "float32",
     )
     policy, variables, opt_state, carry, fresh, train_fn = build_trainer(
         env, ppo_cfg, seed=0, rollout_mode=args.rollout_mode,
@@ -229,6 +231,10 @@ def main():
     p.add_argument("--ent-coef", type=float, default=1e-3,
                    help="entropy coefficient passed as a runtime scalar, "
                         "matching the train CLI's program identity")
+    p.add_argument("--policy-dtype", choices=["f32", "bf16"], default="f32",
+                   help="policy compute dtype (--train): bf16 runs the "
+                        "embed/head GEMMs on the MXU at full rate; params "
+                        "and logits stay f32")
     p.add_argument("--packed-io", action="store_true",
                    help="keep train state in per-dtype packed device "
                         "buffers: ~12 handles per dispatch instead of ~227 "

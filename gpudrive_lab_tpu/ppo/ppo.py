@@ -88,6 +88,12 @@ class PPOConfig:
     # compute is ~0.3 s).  Unrolling trades a bigger one-time XLA compile
     # (persistently cached) for a single-dispatch, While-free program.
     unroll: bool = False
+    # Policy compute dtype: "bfloat16" runs the embedding/head GEMMs on the
+    # MXU at full rate (~8x f32 on v5e) with f32 params and f32 logits/value
+    # outputs (the flax module casts at the boundary).  The update phase is
+    # GEMM-bound (road embed alone is ~180 GFLOP per 16K-sample minibatch),
+    # so this is the main post-scatter-fix throughput lever.
+    policy_dtype: str = "float32"
 
 
 class Transition(NamedTuple):

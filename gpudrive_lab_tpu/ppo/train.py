@@ -241,7 +241,9 @@ def build_trainer(env: GPUDriveTPUEnv, ppo_config: PPOConfig,
         )
     check_compact_capacity(env, ppo_config.compact)
     policy_config = policy_config or PolicyConfig(
-        action_dim=env.action_space_n
+        action_dim=env.action_space_n,
+        dtype=jnp.bfloat16
+        if ppo_config.policy_dtype == "bfloat16" else jnp.float32,
     )
     policy = LateFusionPolicy(policy_config)
     init_fn, train_step, train_step_loop, train_step_dispatch = make_ppo_funcs(
@@ -347,6 +349,9 @@ def main():
                    default="remat",
                    help="rollout obs handling: rematerialize from stored "
                         "SimStates (min HBM), or store f32/bf16 obs")
+    p.add_argument("--policy-dtype", choices=["f32", "bf16"], default="f32",
+                   help="policy compute dtype: bf16 uses the MXU at full "
+                        "rate (params/logits stay f32)")
     p.add_argument("--video-interval", type=int, default=0,
                    help="iterations between rollout videos rendered with "
                         "the current policy into <checkpoint-path>/videos/ "
@@ -396,7 +401,9 @@ def main():
                         compact=args.compact,
                         remat_obs=args.obs_store == "remat",
                         obs_store_dtype="bfloat16"
-                        if args.obs_store == "bf16" else "float32")
+                        if args.obs_store == "bf16" else "float32",
+                        policy_dtype="bfloat16"
+                        if args.policy_dtype == "bf16" else "float32")
     policy, variables, opt_state, carry, fresh, train_fn = build_trainer(
         env, ppo_cfg, seed=args.seed, rollout_mode=args.rollout_mode,
         iters_per_dispatch=args.iters_per_dispatch,

@@ -300,3 +300,34 @@ def test_init_steps_warmed_reset(trainer):
     )
     vals = [float(np.asarray(v)) for v in metrics.values()]
     assert np.isfinite(vals).all()
+
+
+def test_bf16_policy_dtype_trains_close_to_f32(trainer):
+    """policy_dtype=bfloat16 (MXU compute dtype) keeps one iteration's
+    update numerically close to f32 — logits/values cast back to f32 at
+    the module boundary, params stay f32."""
+    env, _ = trainer
+    results = []
+    for dtype in ("float32", "bfloat16"):
+        _, variables, opt_state, carry, fresh, train_fn = build_trainer(
+            env,
+            PPOConfig(rollout_len=8, num_minibatches=2,
+                      policy_dtype=dtype),
+            seed=7,
+        )
+        variables, opt_state, carry, metrics = train_fn(
+            env.scene, variables, opt_state, carry, fresh, env.reward_weights
+        )
+        results.append((jax.tree.leaves(variables), metrics))
+    (va, ma), (vb, mb) = results
+    for a, b in zip(va, vb):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-2, rtol=2e-1
+        )
+    for k in ("pg_loss", "v_loss", "entropy"):
+        assert np.isfinite(float(np.asarray(mb[k])))
+    # entropy of a fresh policy is near log(n_actions) in both dtypes
+    np.testing.assert_allclose(
+        float(np.asarray(ma["entropy"])), float(np.asarray(mb["entropy"])),
+        atol=0.05,
+    )
