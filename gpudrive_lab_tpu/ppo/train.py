@@ -295,6 +295,23 @@ def build_trainer(env: GPUDriveTPUEnv, ppo_config: PPOConfig,
     return policy, variables, opt_state, carry, fresh, train_fn
 
 
+def save_checkpoint(ckpt_dir, variables, opt_state, iteration, global_step):
+    """Atomic-ish checkpoint write (tmp + rename) of policy + Adam state
+    (reference: integrations/puffer/ppo.py:695-737 save_checkpoint)."""
+    tmp = ckpt_dir / "policy.pkl.tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(
+            {
+                "variables": jax.tree.map(np.asarray, variables),
+                "opt_state": jax.tree.map(np.asarray, opt_state),
+                "iteration": iteration,
+                "global_step": global_step,
+            },
+            f,
+        )
+    tmp.replace(ckpt_dir / "policy.pkl")
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--data-dir", default="/root/reference/data/processed/examples")
@@ -556,16 +573,18 @@ def main():
                     != prev_iteration // args.checkpoint_interval):
                 if args.packed_io:
                     variables, opt_state, carry = train_fn.unpack_state()
-                with open(ckpt_dir / "policy.pkl", "wb") as f:
-                    pickle.dump(
-                        {
-                            "variables": jax.tree.map(np.asarray, variables),
-                            "opt_state": jax.tree.map(np.asarray, opt_state),
-                            "iteration": iteration,
-                            "global_step": global_step,
-                        },
-                        f,
-                    )
+                save_checkpoint(
+                    ckpt_dir, variables, opt_state, iteration, global_step
+                )
+        # Final checkpoint at target: without this, a last partial
+        # checkpoint-interval's steps would be silently lost on resume
+        # (bit the 50M campaign: its terminal chunk ran 14 iterations,
+        # below the 25-iteration interval).
+        if args.packed_io:
+            variables, opt_state, carry = train_fn.unpack_state()
+        save_checkpoint(
+            ckpt_dir, variables, opt_state, iteration, global_step
+        )
     finally:
         if dash is not None:
             dash.__exit__(None, None, None)
