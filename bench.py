@@ -71,6 +71,7 @@ def bench_train(args):
     ppo_cfg = PPOConfig(
         rollout_len=args.rollout_len,
         num_minibatches=args.num_minibatches,
+        update_epochs=args.update_epochs,
         remat_obs=args.obs_store == "remat",
         obs_store_dtype="bfloat16" if args.obs_store == "bf16"
         else "float32",
@@ -209,6 +210,9 @@ def main():
     p.add_argument("--num-minibatches", type=int, default=16,
                    help="PPO minibatches per epoch (--train); 16 keeps the "
                         "obs-rematerialization slices small")
+    p.add_argument("--update-epochs", type=int, default=4,
+                   help="PPO epochs over the rollout (--train); 1 isolates "
+                        "the rollout share of the iteration")
     p.add_argument("--compact", type=int, default=0,
                    help="restrict the learner's obs/policy path to the "
                         "first N controlled slots per world (0 = dense "
