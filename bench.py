@@ -76,6 +76,7 @@ def bench_train(args):
         obs_store_dtype="bfloat16" if args.obs_store == "bf16"
         else "float32",
         compact=args.compact,
+        compact_mode=args.compact_mode,
         policy_dtype="bfloat16" if args.policy_dtype == "bf16"
         else "float32",
     )
@@ -217,6 +218,12 @@ def main():
                    help="restrict the learner's obs/policy path to the "
                         "first N controlled slots per world (0 = dense "
                         "over all 128 padded slots)")
+    p.add_argument("--compact-mode", choices=["world", "flat"],
+                   default="world",
+                   help="'flat' uses ONE cross-world agent axis of "
+                        "--compact rows holding exactly the batch's "
+                        "controlled agents (the fast layout for imbalanced "
+                        "worlds); 'world' pads every world to --compact")
     p.add_argument("--obs-store", choices=["remat", "f32", "bf16"],
                    default="remat",
                    help="rollout obs handling (--train): rematerialize from "

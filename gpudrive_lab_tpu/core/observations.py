@@ -27,12 +27,21 @@ from gpudrive_lab_tpu.core.types import Params, RoadObsAlgorithm, Scene, SimStat
 
 
 def _ego_take(x: jnp.ndarray, ego_idx) -> jnp.ndarray:
-    """Gather ego rows: [W, A(, d...)] -> [W, C(, d...)] by [W, C] index
-    (identity when ego_idx is None).  The compaction hook: every observation
-    collector is a per-ego computation, so restricting the ego axis to the
-    controlled slots shrinks the whole obs/policy path by A/C."""
+    """Gather ego rows (identity when ego_idx is None).  Two layouts:
+
+      * [W, C] per-world index -> [W, C(, d...)] rows (world compaction);
+      * (w_idx [N], a_idx [N]) tuple -> [N(, d...)] rows — FLAT cross-world
+        compaction: the ego axis holds exactly the controlled agents of the
+        whole batch, so wildly imbalanced worlds (e.g. 46 vs 3 controlled)
+        no longer pad every world to the max (the round-3 throughput lever).
+
+    Every observation collector is a per-ego computation, so restricting
+    the ego axis shrinks the whole obs/policy path proportionally."""
     if ego_idx is None:
         return x
+    if isinstance(ego_idx, tuple):
+        w_idx, a_idx = ego_idx
+        return x[w_idx, a_idx]
     idx = ego_idx.reshape(ego_idx.shape + (1,) * (x.ndim - 2))
     return jnp.take_along_axis(x, idx.astype(jnp.int32), axis=1)
 
@@ -99,6 +108,13 @@ def partner_observations(
         def take(x):  # [W, A(, d)] -> [W, A, A-1(, d)]
             return x[:, src]
 
+    elif isinstance(ego_idx, tuple):
+        w_idx, a_idx = ego_idx
+        src_f = k[None, :] + (k[None, :] >= a_idx[:, None])  # [N, A-1]
+
+        def take(x):  # [W, A(, d)] -> [N, A-1(, d)]
+            return x[w_idx[:, None], src_f]
+
     else:
         W, C = ego_idx.shape
         src_w = (
@@ -134,10 +150,10 @@ def partner_observations(
     o_id = sel_p[..., 8]
 
     rel_ego = rotate_into_frame(
-        o_pos - esel(state.pos)[:, :, None, :], esel(state.yaw)[:, :, None]
+        o_pos - esel(state.pos)[..., None, :], esel(state.yaw)[..., None]
     )
     dist = jnp.linalg.norm(rel_ego, axis=-1)
-    rel_heading = quat_yaw_diff(esel(state.yaw)[:, :, None], o_yaw)
+    rel_heading = quat_yaw_diff(esel(state.yaw)[..., None], o_yaw)
 
     obs = jnp.concatenate(
         [
@@ -156,8 +172,10 @@ def partner_observations(
 
     # Existing-slot predicate: slot k valid iff k < numAgents-1 for real egos
     # (src/sim.cpp:199,236-239).
-    n = scene.num_agents[:, None, None]
-    exists = k[None, None, :] < (n - 1)
+    if isinstance(ego_idx, tuple):
+        exists = k[None, :] < (scene.num_agents[ego_idx[0]][:, None] - 1)
+    else:
+        exists = k[None, None, :] < (scene.num_agents[:, None, None] - 1)
 
     id_col = jnp.where(
         exists, jnp.where(in_radius, obs[..., 8], -1.0), -2.0
@@ -166,7 +184,7 @@ def partner_observations(
     obs = obs.at[..., 8].set(id_col)
 
     # Padded ego rows: PartnerObservation::zero() everywhere (id = -1).
-    ego_valid = esel(agents.valid)[:, :, None, None]
+    ego_valid = esel(agents.valid)[..., None, None]
     zero_row = jnp.zeros(9, jnp.float32).at[8].set(-1.0)
     obs = jnp.where(ego_valid, obs, zero_row)
     if with_static:
@@ -193,16 +211,20 @@ def _packed_road_columns(roads) -> jnp.ndarray:
     )
 
 
-def _gather_road_features(packed, idx, ego_pos, ego_yaw):
-    """Gather-then-compute: fetch the [W, A, K] winners' packed columns and
+def _gather_road_features(packed, idx, ego_pos, ego_yaw, w_idx=None):
+    """Gather-then-compute: fetch the [..., K] winners' packed columns and
     only then build the 9-wide ego-frame MapObservation features — the
-    [W, A, R] lattice never materializes 9-wide (the bandwidth hot spot
-    flagged in SURVEY.md §7).  Returns (features [W, A, K, 9],
-    world-frame d2 [W, A, K], valid flag [W, A, K])."""
-    sel_p = jax.vmap(lambda xw, iw: xw[iw])(packed, idx)  # [W, A, K, 10]
-    rel = sel_p[..., 0:2] - ego_pos[:, :, None, :]
-    rel_ego = rotate_into_frame(rel, ego_yaw[:, :, None])
-    heading = quat_yaw_diff(ego_yaw[:, :, None], sel_p[..., 5])
+    [..., R] lattice never materializes 9-wide (the bandwidth hot spot
+    flagged in SURVEY.md §7).  Ego axes: [W, A] per-world (w_idx None) or
+    flat [N] (w_idx [N] selects each ego's world rows).  Returns
+    (features [..., K, 9], world-frame d2 [..., K], valid flag [..., K])."""
+    if w_idx is not None:
+        sel_p = packed[w_idx[:, None], idx]  # [N, K, 10]
+    else:
+        sel_p = jax.vmap(lambda xw, iw: xw[iw])(packed, idx)  # [W, A, K, 10]
+    rel = sel_p[..., 0:2] - ego_pos[..., None, :]
+    rel_ego = rotate_into_frame(rel, ego_yaw[..., None])
+    heading = quat_yaw_diff(ego_yaw[..., None], sel_p[..., 5])
     sel = jnp.concatenate(
         [
             rel_ego,
@@ -236,14 +258,21 @@ def agent_map_observations(
     """
     K = C.MAX_AGENT_MAP_OBS
     roads = scene.roads
-    road_valid = scene.roads.valid[:, None, :]
     ego_pos = _ego_take(state.pos, ego_idx)
     ego_yaw = _ego_take(state.yaw, ego_idx)
     ego_valid = _ego_take(scene.agents.valid, ego_idx)
+    if isinstance(ego_idx, tuple):
+        w_idx = ego_idx[0]
+        road_valid = roads.valid[w_idx]                    # [N, R]
+        road_pos = roads.pos[w_idx, :, 0:2]                # [N, R, 2]
+    else:
+        w_idx = None
+        road_valid = roads.valid[:, None, :]               # [W, 1, R]
+        road_pos = roads.pos[:, None, :, 0:2]              # [W, 1, R, 2]
 
     if params.road_obs_algorithm == RoadObsAlgorithm.KNEAREST:
-        delta = roads.pos[:, None, :, 0:2] - ego_pos[:, :, None, :]
-        d2 = jnp.sum(delta * delta, axis=-1)  # [W, A, R]
+        delta = road_pos - ego_pos[..., None, :]
+        d2 = jnp.sum(delta * delta, axis=-1)  # [..., R]
         score = jnp.where(road_valid, d2, jnp.inf)
         # Fewer road entities than K: take them all and zero-fill
         # (reference: src/knn.hpp:122-126).
@@ -259,11 +288,11 @@ def agent_map_observations(
             )
 
         sel, sel_d2, sel_valid = _gather_road_features(
-            _packed_road_columns(roads), idx, ego_pos, ego_yaw
+            _packed_road_columns(roads), idx, ego_pos, ego_yaw, w_idx
         )
         if K_eff < K:
             pad = jnp.arange(K) >= K_eff
-            sel_valid = sel_valid & ~pad[None, None, :]
+            sel_valid = sel_valid & ~pad
         keep = sel_valid & (sel_d2 <= params.observation_radius**2)
         # KNN filler: all-zero row including id/mapType (knn.hpp:19-28).
         out = jnp.where(keep[..., None], sel, 0.0)
@@ -278,16 +307,14 @@ def agent_map_observations(
         # feature lattice; a dense [K, R] rank comparison-reduction fixed
         # that but still scaled as K*R — ~50 ms/step at W=256.  top_k is
         # R log R and measures at the dispatch floor.)
-        delta = roads.pos[:, None, :, 0:2] - ego_pos[:, :, None, :]
-        d2 = jnp.sum(delta * delta, axis=-1)  # [W, A, R]
+        delta = road_pos - ego_pos[..., None, :]
+        d2 = jnp.sum(delta * delta, axis=-1)  # [..., R]
         within = road_valid & (d2 <= params.observation_radius**2)
         R = d2.shape[-1]
-        key = jnp.where(
-            within, jnp.arange(R, dtype=jnp.int32)[None, None, :], R
-        )
+        key = jnp.where(within, jnp.arange(R, dtype=jnp.int32), R)
         K_eff = min(K, R)
         neg, _ = jax.lax.top_k(-key, K_eff)
-        idx = -neg  # [W, A, K_eff] ascending; == R past the within count
+        idx = -neg  # [..., K_eff] ascending; == R past the within count
         if K_eff < K:
             idx = jnp.concatenate(
                 [idx, jnp.full(idx.shape[:-1] + (K - K_eff,), R, idx.dtype)],
@@ -296,7 +323,7 @@ def agent_map_observations(
         filled = idx < R
         idx = jnp.where(filled, idx, 0)
         sel, _, _ = _gather_road_features(
-            _packed_road_columns(roads), idx, ego_pos, ego_yaw
+            _packed_road_columns(roads), idx, ego_pos, ego_yaw, w_idx
         )
         # Linear filler: MapObservation::zero() has id=-1, mapType=-1.
         filler = jnp.zeros(9, jnp.float32).at[7].set(-1.0).at[8].set(-1.0)
@@ -305,7 +332,7 @@ def agent_map_observations(
     # Padded ego agents: MapObservation::zero() rows
     # (src/level_gen.cpp:315-318).
     pad_filler = jnp.zeros(9, jnp.float32).at[7].set(-1.0).at[8].set(-1.0)
-    return jnp.where(ego_valid[:, :, None, None], out, pad_filler)
+    return jnp.where(ego_valid[..., None, None], out, pad_filler)
 
 
 def map_observation(scene: Scene) -> jnp.ndarray:

@@ -80,7 +80,10 @@ def flat_observation(
     ego_idx [W, C] restricts the ego axis to the selected agent slots
     (obs/masks come back [W, C, ...]) — the learner-compaction hook: the
     policy only needs rows for controlled agents, so compacting here cuts
-    the whole obs+policy path by A/C.
+    the whole obs+policy path by A/C.  ego_idx may also be a FLAT
+    (w_idx [N], a_idx [N]) tuple: obs/masks come back [N, ...] with the ego
+    axis holding exactly the selected (world, agent) pairs — cross-world
+    compaction for batches whose per-world controlled counts are imbalanced.
     """
     parts = []
     partner_mask = None
@@ -132,7 +135,7 @@ def flat_observation(
             p_len = p_len / C.MAX_VEH_LEN
             p_wid = p_wid / C.MAX_VEH_WIDTH
         pobs = jnp.stack([p_speed, p_x, p_y, p_head, p_len, p_wid], axis=-1)
-        parts.append(pobs.reshape(pobs.shape[0], pobs.shape[1], -1))
+        parts.append(pobs.reshape(pobs.shape[:-2] + (-1,)))
 
     if spec.road_map_obs:
         mo = obsmod.agent_map_observations(scene, state, params, ego_idx)
@@ -152,11 +155,13 @@ def flat_observation(
             [jnp.stack([x, y, d0, d1, d2, heading], axis=-1), one_hot],
             axis=-1,
         )
-        parts.append(robs.reshape(robs.shape[0], robs.shape[1], -1))
+        parts.append(robs.reshape(robs.shape[:-2] + (-1,)))
         road_mask = mo[..., 7] == -1  # road_mask (env_torch.py:1258-1272)
 
     if parts:
         obs = jnp.concatenate(parts, axis=-1)
+    elif isinstance(ego_idx, tuple):  # lidar-only, flat ego axis
+        obs = jnp.zeros((ego_idx[0].shape[0], 0), jnp.float32)
     else:  # disable_classic_obs: no flat features (lidar-only mode)
         W, A = scene.agents.valid.shape
         rows = A if ego_idx is None else ego_idx.shape[1]

@@ -74,12 +74,17 @@ class PPOConfig:
     obs_store_dtype: str = "float32"  # "bfloat16" halves rollout obs HBM
     # Learner compaction: restrict the obs/policy/GAE path to the first
     # `compact` controlled slots per world (0 = dense over all A=128 padded
-    # slots).  Real WOMD worlds control ~10-40 agents, so compact=64 cuts
+    # slots).  compact_mode="flat" instead uses ONE flat cross-world agent
+    # axis of `compact` rows holding exactly the batch's controlled agents
+    # (in (world, slot) order) — the right layout when per-world controlled
+    # counts are imbalanced (example WOMD batch: [5, 8, 46, 3] controlled
+    # per world; per-world compaction pads every world to the max).  Real WOMD worlds control ~10-40 agents, so compact=64 cuts
     # the learner's compute by 2-7x with identical semantics (uncontrolled
     # rows never contribute: mask already excluded them, and step() ignores
     # their actions).  Worlds with more controlled agents than `compact`
     # would silently drop the overflow — keep it >= the scene max.
     compact: int = 0
+    compact_mode: str = "world"  # "world" [W, C] | "flat" [N] ego axis
     # Trace the rollout/GAE/update loops as STRAIGHT-LINE code (python loops
     # inside the jit) instead of lax.scan.  On the axon remote-TPU runtime,
     # While-loop programs execute ~200x slower than the identical unrolled
@@ -179,10 +184,22 @@ def make_ppo_funcs(
         a, logp, ent = sample_logits(rng, logits, action)
         return a, logp, ent, value
 
+    flat_mode = config.compact and config.compact_mode == "flat"
+    batch_lead = 2 if flat_mode else 3  # traj arrays: [T, N] vs [T, W, C]
+
     def ctrl_slots(scene):
-        """[W, C] controlled-first slot order (stable, so real controlled
-        slots come first in compile order).  Derived inside the jit — no
-        signature change, recomputed for pennies."""
+        """Controlled-first ego-axis selection, derived inside the jit.
+
+        world mode: [W, C] per-world slot order (stable sort, controlled
+        slots first).  flat mode: ((w_idx [N], a_idx [N])) — the batch's
+        controlled agents in (world, slot) order, padded with the first
+        uncontrolled slots; padding rows are masked out of every loss."""
+        if flat_mode:
+            ctrl = scene.agents.controlled.reshape(-1)
+            order = jnp.argsort(jnp.where(ctrl, 0, 1), stable=True)
+            order = order[: config.compact]
+            A = scene.agents.controlled.shape[1]
+            return order // A, order % A
         order = jnp.argsort(
             jnp.where(scene.agents.controlled, 0, 1), axis=1, stable=True
         )
@@ -194,9 +211,11 @@ def make_ppo_funcs(
         A = controlled.shape[1]
         cidx = ctrl_slots(scene) if config.compact else None
 
-        def gather_c(x):  # [W, A(,d)] -> [W, C(,d)] (identity when dense)
+        def gather_c(x):  # [W, A(,d)] -> [W, C(,d)] / [N(,d)] (id when dense)
             if cidx is None:
                 return x
+            if flat_mode:
+                return x[cidx[0], cidx[1]]
             idx = cidx.reshape(cidx.shape + (1,) * (x.ndim - 2))
             return jnp.take_along_axis(x, idx, axis=1)
 
@@ -209,6 +228,14 @@ def make_ppo_funcs(
             mask = gather_c(controlled & (carry.state.done == 0))
             if cidx is None:
                 a_full = a
+            elif flat_mode:
+                # flat scatter: one [N] -> [W, A] placement; padding rows
+                # (uncontrolled) land on expert-driven slots, inert in step()
+                a_full = (
+                    jnp.zeros((controlled.shape[0], A), a.dtype)
+                    .at[cidx[0], cidx[1]]
+                    .set(a)
+                )
             else:
                 # scatter compact actions back to full slots; uncontrolled
                 # rows are expert-driven inside step() so zeros are inert
@@ -329,7 +356,7 @@ def make_ppo_funcs(
                     scene, st, params, spec, reward_weights, cidx
                 )[0]
             )(mb["obs_state"])
-            obs = obs.reshape((-1,) + obs.shape[3:])
+            obs = obs.reshape((-1, obs.shape[-1]))
         else:
             obs = mb["obs"].astype(jnp.float32)
         _, newlogp, entropy, newvalue = policy_forward(
@@ -411,7 +438,7 @@ def make_ppo_funcs(
             def mb_body(carry_mb, mb_idx):
                 variables, opt_state = carry_mb
                 take = lambda x: jnp.take(x, mb_idx, axis=0).reshape(
-                    (-1,) + x.shape[3:]
+                    (-1,) + x.shape[batch_lead:]
                 )
                 mb = {k: take(v) for k, v in batch.items()}
                 if config.remat_obs:
@@ -543,7 +570,7 @@ def make_ppo_funcs(
     def _mb_update(variables, opt_state, batch, env_state, mb_idx, rng,
                    scene, reward_weights, ent_coef):
         take = lambda x: jnp.take(x, mb_idx, axis=0).reshape(
-            (-1,) + x.shape[3:]
+            (-1,) + x.shape[batch_lead:]
         )
         mb = {k: take(v) for k, v in batch.items()}
         if config.remat_obs:

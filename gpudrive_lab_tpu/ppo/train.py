@@ -184,7 +184,9 @@ class PackedTrainer:
         self.set_state(variables, opt_state, carry._replace(**kw))
 
 
-def check_compact_capacity(env: GPUDriveTPUEnv, compact: int | None):
+def check_compact_capacity(
+    env: GPUDriveTPUEnv, compact: int | None, compact_mode: str = "world"
+):
     """Every world's controlled-agent count must fit in the compact slots:
     overflow agents would silently drive with action_table[0] every step
     (ctrl_slots keeps only the first `compact` controlled slots, and the
@@ -193,6 +195,14 @@ def check_compact_capacity(env: GPUDriveTPUEnv, compact: int | None):
     swap_data_batch — a resampled batch can be more crowded than the one
     the trainer was built against."""
     if not compact:
+        return
+    if compact_mode == "flat":
+        total_ctrl = int(np.asarray(env.scene.agents.controlled).sum())
+        if compact < total_ctrl:
+            raise ValueError(
+                f"compact={compact} (flat) would drop controlled agents "
+                f"(scene batch total {total_ctrl})"
+            )
         return
     max_ctrl = int(np.asarray(env.scene.agents.controlled).sum(axis=1).max())
     if compact < max_ctrl:
@@ -239,7 +249,7 @@ def build_trainer(env: GPUDriveTPUEnv, ppo_config: PPOConfig,
         ppo_config = _dc.replace(
             ppo_config, reset_time_step=env.config.init_steps
         )
-    check_compact_capacity(env, ppo_config.compact)
+    check_compact_capacity(env, ppo_config.compact, ppo_config.compact_mode)
     policy_config = policy_config or PolicyConfig(
         action_dim=env.action_space_n,
         dtype=jnp.bfloat16
@@ -362,6 +372,11 @@ def main():
                    help="learner compaction: obs/policy/GAE restricted to "
                         "the first N controlled slots per world (0=dense; "
                         "must cover the scene batch's max controlled count)")
+    p.add_argument("--compact-mode", choices=["world", "flat"],
+                   default="world",
+                   help="'flat' = one cross-world agent axis of --compact "
+                        "rows (capacity: the batch's TOTAL controlled "
+                        "count); the fast layout for imbalanced worlds")
     p.add_argument("--obs-store", choices=["remat", "f32", "bf16"],
                    default="remat",
                    help="rollout obs handling: rematerialize from stored "
@@ -416,6 +431,7 @@ def main():
                         update_epochs=args.update_epochs,
                         learning_rate=args.lr,
                         compact=args.compact,
+                        compact_mode=args.compact_mode,
                         remat_obs=args.obs_store == "remat",
                         obs_store_dtype="bfloat16"
                         if args.obs_store == "bf16" else "float32",
@@ -471,7 +487,7 @@ def main():
             ):
                 with profile.phase("env"):
                     env.swap_data_batch()
-                    check_compact_capacity(env, ppo_cfg.compact)
+                    check_compact_capacity(env, ppo_cfg.compact, ppo_cfg.compact_mode)
                     fresh = make_fresh(env)
                     carry = EnvCarry(
                         state=jax.tree.map(jnp.copy, fresh),

@@ -218,3 +218,64 @@ def test_flat_observation_ego_subset_matches_full(example_scene_paths):
     np.testing.assert_array_equal(
         np.asarray(rm_sub), np.asarray(rm_full)[w, idx]
     )
+
+
+def test_flat_ego_layout_matches_world_layout(scene_state):
+    """flat (w_idx, a_idx) ego indexing returns exactly the same rows as
+    the [W, C] per-world compaction — the cross-world flat-compaction
+    contract used by the PPO learner's compact_mode='flat'."""
+    import jax.numpy as jnp
+    from gpudrive_lab_tpu.env.env_jax import ObsSpec, flat_observation
+
+    scene, state = scene_state
+    W, A = np.asarray(scene.agents.valid).shape
+    # tile to 2 worlds for a cross-world case
+    scene2 = jax.tree.map(lambda x: jnp.concatenate([x, x], axis=0), scene)
+    state2 = jax.tree.map(lambda x: jnp.concatenate([x, x], axis=0), state)
+    weights = jnp.zeros((2 * W, A, 3), jnp.float32)
+
+    Cc = 4
+    cidx = jnp.tile(jnp.arange(Cc)[None], (2 * W, 1))  # [2W, C]
+    w_idx = jnp.repeat(jnp.arange(2 * W), Cc)
+    a_idx = jnp.tile(jnp.arange(Cc), 2 * W)
+
+    spec = ObsSpec()
+    obs_w, pm_w, rm_w = flat_observation(
+        scene2, state2, PARAMS, spec, weights, cidx
+    )
+    obs_f, pm_f, rm_f = flat_observation(
+        scene2, state2, PARAMS, spec, weights, (w_idx, a_idx)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(obs_w).reshape(2 * W * Cc, -1), np.asarray(obs_f)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(pm_w).reshape(2 * W * Cc, -1), np.asarray(pm_f)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rm_w).reshape(2 * W * Cc, -1), np.asarray(rm_f)
+    )
+
+
+def test_flat_ego_layout_linear_road_obs(scene_state):
+    """Same flat-vs-world contract under the LINEAR road algorithm."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    scene, state = scene_state
+    params = dataclasses.replace(
+        PARAMS, road_obs_algorithm=RoadObsAlgorithm.LINEAR
+    )
+    W, A = np.asarray(scene.agents.valid).shape
+    Cc = 3
+    cidx = jnp.tile(jnp.arange(Cc)[None], (W, 1))
+    w_idx = jnp.repeat(jnp.arange(W), Cc)
+    a_idx = jnp.tile(jnp.arange(Cc), W)
+    mo_w = np.asarray(
+        obs.agent_map_observations(scene, state, params, cidx)
+    ).reshape(W * Cc, C.MAX_AGENT_MAP_OBS, 9)
+    mo_f = np.asarray(
+        obs.agent_map_observations(scene, state, params, (w_idx, a_idx))
+    )
+    np.testing.assert_array_equal(mo_w, mo_f)
