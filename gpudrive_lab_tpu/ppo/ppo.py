@@ -83,6 +83,10 @@ class PPOConfig:
     # rows never contribute: mask already excluded them, and step() ignores
     # their actions).  Worlds with more controlled agents than `compact`
     # would silently drop the overflow — keep it >= the scene max.
+    # NOTE multi-chip: flat compaction gathers agents ACROSS worlds, so a
+    # world-sharded mesh would turn every flat gather into a cross-device
+    # all-gather.  Use compact_mode="world" when sharding worlds over a
+    # mesh (the dryrun does); "flat" is the single-chip fast path.
     compact: int = 0
     compact_mode: str = "world"  # "world" [W, C] | "flat" [N] ego axis
     # Trace the rollout/GAE/update loops as STRAIGHT-LINE code (python loops

@@ -41,7 +41,9 @@ EOF
   timeout "$CHUNK_TIMEOUT" python -m gpudrive_lab_tpu.ppo.train \
     --num-worlds "${NUM_WORLDS:-64}" --rollout-len 32 \
     --num-minibatches "${NUM_MINIBATCHES:-16}" \
-    --compact 64 --obs-store bf16 --rollout-mode unroll \
+    --compact "${COMPACT:-64}" --compact-mode "${COMPACT_MODE:-world}" \
+    --policy-dtype "${POLICY_DTYPE:-f32}" \
+    --obs-store bf16 --rollout-mode unroll \
     --entropy-floor "${ENTROPY_FLOOR:-0.8}" --ent-coef 1e-3 \
     --init-steps "${INIT_STEPS:-11}" \
     --iters-per-dispatch "${ITERS_PER_DISPATCH:-1}" \
