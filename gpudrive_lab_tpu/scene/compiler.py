@@ -376,7 +376,12 @@ def _compile_world_py(
     )
 
 
-def _bucket(n: int, bucket: int = 512) -> int:
+def _bucket(n: int, bucket: int = 256) -> int:
+    """Round the road capacity up to a 256-multiple (= 2x the 128-lane
+    register tile).  256 granularity measured +10% simulator throughput over
+    512 at the example batch (R 1536 -> 1280: 1.82M -> 1.99M agent-steps/s);
+    the finer bucketing admits more distinct shapes across dataset batches,
+    but recompiles are one-time per bucket under the persistent XLA cache."""
     return max(bucket, ((n + bucket - 1) // bucket) * bucket)
 
 
@@ -388,7 +393,7 @@ def build_scene(
 ) -> Scene:
     """Compile a batch of scenario JSONs into one stacked Scene pytree.
 
-    Road capacity is bucketed (multiples of 512) to the batch maximum so that
+    Road capacity is bucketed (multiples of 256) to the batch maximum so that
     swapping in a new batch of similar scenes reuses the compiled step
     (the analogue of Manager::setMaps, reference: src/mgr.cpp:590-654).
     """
