@@ -65,6 +65,11 @@ def bench_train(args):
         dynamics_model="classic", collision_behavior="ignore",
         init_steps=args.init_steps,
         use_tile_collision={"auto": None, "on": True, "off": False}[args.tiles],
+        agent_bucket=(
+            int(args.agent_bucket)
+            if args.agent_bucket and args.agent_bucket != "auto"
+            else args.agent_bucket
+        ),
     )
     env = GPUDriveTPUEnv(cfg, data_loader=loader, max_roads=args.max_roads)
     t0 = time.time()
@@ -196,6 +201,13 @@ def main():
     p.add_argument("--collision-top-k", type=int, default=None,
                    help="prune agent-road SAT to K distance-ranked candidates"
                         " (wins for large --max-roads buckets)")
+    p.add_argument("--agent-bucket", default="auto",
+                   help="'auto' (default) buckets the sim's agent axis to "
+                        "the batch max instead of the fixed 128 rows — "
+                        "~3.7x less agent-axis compute on typical WOMD "
+                        "scenes, bitwise-identical results on real rows "
+                        "(tests/test_agent_bucket.py); pass 128 for the "
+                        "reference's fixed layout")
     p.add_argument("--max-roads", type=int, default=None,
                    help="force the road bucket (e.g. 10240 to stress the "
                         "full kMaxRoadEntityCount regime)")
@@ -315,7 +327,11 @@ def main():
     paths = [base[i % len(base)] for i in range(worlds)]
 
     t0 = time.time()
-    scene = build_scene(paths, params, max_roads=args.max_roads)
+    ab = args.agent_bucket
+    if ab and ab != "auto":
+        ab = int(ab)
+    scene = build_scene(paths, params, max_roads=args.max_roads,
+                        max_agents=ab)
     compile_scene_s = time.time() - t0
     num_agents = int(np.asarray(scene.num_agents).sum())
 
@@ -326,7 +342,9 @@ def main():
         np.stack([a.ravel(), b.ravel(), c.ravel()], axis=-1), jnp.float32
     )
     n_actions = table.shape[0]
-    weights = jnp.zeros((worlds, C.MAX_AGENTS, 3), jnp.float32)
+    weights = jnp.zeros(
+        (worlds, scene.agents.valid.shape[1], 3), jnp.float32
+    )
 
     # One fused XLA program per env step (random actions -> sim step -> obs
     # -> reset-as-select), dispatched from a Python loop.  NOTE: lax.scan is
@@ -341,10 +359,11 @@ def main():
     # lazy axon runtime cannot elide any step's work.
     @functools.partial(jax.jit, static_argnames=())
     def bench_step(scene, fresh, table, weights, state, rng, acc):
+        A_b = scene.agents.valid.shape[1]
         rng, k = jax.random.split(rng)
-        idx = jax.random.randint(k, (worlds, C.MAX_AGENTS), 0, n_actions)
+        idx = jax.random.randint(k, (worlds, A_b), 0, n_actions)
         act = jnp.zeros(
-            (worlds, C.MAX_AGENTS, C.ACTION_DIM), jnp.float32
+            (worlds, A_b, C.ACTION_DIM), jnp.float32
         ).at[..., :3].set(table[idx])
         state = stepmod.step(scene, state, act, params)
         if args.no_obs:

@@ -95,6 +95,13 @@ class EnvConfig:
     dist_to_goal_threshold: float = 2.0
 
     max_num_agents_in_scene: int = C.MAX_AGENTS
+    # Agent-axis bucketing (TPU extension, not in the reference): None keeps
+    # the fixed kMaxAgentCount=128 rows; "auto" (or an int cap) shrinks the
+    # sim's agent axis to the scene batch's max created-agent count rounded
+    # to 16 — ~3.7x less agent-axis compute on typical WOMD scenes.  The
+    # 3368-float flat-obs ABI (127 partner slots) is preserved by feature
+    # padding; env getters then return [W, A_bucket, ...] arrays.
+    agent_bucket: int | str | None = None
     max_num_rg_points: int = C.MAX_ROAD_ENTITIES
     roadgraph_top_k: int = C.MAX_AGENT_MAP_OBS
     episode_len: int = C.EPISODE_LEN

@@ -100,6 +100,27 @@ def flat_observation(
         partner, other_static = obsmod.partner_observations(
             scene, state, params, ego_idx, with_static=True
         )
+        # Fixed flat-feature ABI: 127 partner slots (Appendix C) even when
+        # the sim's agent axis is bucketed below 128.  Pad the RAW rows
+        # with PartnerObservation "nonexistent" fillers (zero features,
+        # id=-2) BEFORE normalization, so padded and full-128 pipelines
+        # produce bitwise-identical observations and masks.
+        short = (C.MAX_AGENTS - 1) - partner.shape[-2]
+        if short:
+            filler = jnp.zeros(9, jnp.float32).at[8].set(-2.0)
+            pad_rows = jnp.broadcast_to(
+                filler, partner.shape[:-2] + (short, 9)
+            )
+            partner = jnp.concatenate([partner, pad_rows], axis=-2)
+            other_static = jnp.concatenate(
+                [
+                    other_static,
+                    jnp.zeros(
+                        other_static.shape[:-1] + (short,), other_static.dtype
+                    ),
+                ],
+                axis=-1,
+            )
 
     if spec.ego_state:
         so = obsmod.self_observation(scene, state, ego_idx)
@@ -355,11 +376,15 @@ class GPUDriveTPUEnv:
             self.data_iterator = iter(data_loader) if data_loader else None
         self.scene_paths = scene_paths
         self.num_worlds = len(scene_paths)
-        self.max_agent_count = C.MAX_AGENTS
         self.episode_len = C.EPISODE_LEN
 
-        self.scene: Scene = build_scene(scene_paths, self.params, max_roads)
+        self.scene: Scene = build_scene(
+            scene_paths, self.params, max_roads,
+            max_agents=config.agent_bucket,
+        )
         self._max_roads = self.scene.max_roads
+        # bucketed agent axis (== 128 unless config.agent_bucket)
+        self.max_agent_count = int(self.scene.agents.valid.shape[1])
 
         # disable_classic_obs skips ego/partner/roadmap collection entirely
         # (the reference's 2x-faster lidar-only mode,
@@ -449,7 +474,7 @@ class GPUDriveTPUEnv:
                 [cfg.collision_weight, cfg.goal_achieved_weight, cfg.off_road_weight],
                 np.float32,
             ),
-            (self.num_worlds, C.MAX_AGENTS, 3),
+            (self.num_worlds, self.max_agent_count, 3),
         )
         return jnp.asarray(w)
 
@@ -483,7 +508,7 @@ class GPUDriveTPUEnv:
                 )
             w = np.broadcast_to(
                 np.asarray(agent_type, np.float32),
-                (self.num_worlds, C.MAX_AGENTS, 3),
+                (self.num_worlds, self.max_agent_count, 3),
             )
         elif mode == "preset":
             name = agent_type if isinstance(agent_type, str) else "balanced"
@@ -493,10 +518,13 @@ class GPUDriveTPUEnv:
                 s = self._PRESETS[name]
                 vec = np.array([lo[0] * s[0], hi[1] * s[1], lo[2] * s[2]])
             w = np.broadcast_to(
-                vec.astype(np.float32), (self.num_worlds, C.MAX_AGENTS, 3)
+                vec.astype(np.float32),
+                (self.num_worlds, self.max_agent_count, 3),
             )
         else:  # random
-            w = self._rng.uniform(lo, hi, (self.num_worlds, C.MAX_AGENTS, 3))
+            w = self._rng.uniform(
+                lo, hi, (self.num_worlds, self.max_agent_count, 3)
+            )
         return jnp.asarray(w, jnp.float32)
 
     # ----- core API ------------------------------------------------------
@@ -548,11 +576,14 @@ class GPUDriveTPUEnv:
     def step_dynamics(self, actions):
         """reference: env_torch.py:606-613.  ``actions`` may be [W, A] (or
         [W, A, 1]) discrete indices, or [W, A, <=10] raw action values."""
+        A = self.max_agent_count
         if actions is None:
             actions = jnp.zeros(
-                (self.num_worlds, C.MAX_AGENTS, C.ACTION_DIM), jnp.float32
+                (self.num_worlds, A, C.ACTION_DIM), jnp.float32
             )
         actions = jnp.asarray(actions)
+        if actions.shape[1] > A:  # full-128 ABI callers: rows >= A are pads
+            actions = actions[:, :A]
         is_index = self.action_keys is not None and (
             actions.ndim == 2
             or (actions.ndim == 3 and actions.shape[-1] == 1)
@@ -661,7 +692,8 @@ class GPUDriveTPUEnv:
                 lidar_observation, static_argnames="params"
             )
         zeros = jnp.zeros(
-            (self.num_worlds, C.MAX_AGENTS, C.ACTION_DIM), jnp.float32
+            (self.num_worlds, self.max_agent_count, C.ACTION_DIM),
+            jnp.float32,
         )
         return self._lidar_fn(self.scene, self.state, self.params, zeros)
 
@@ -718,12 +750,21 @@ class GPUDriveTPUEnv:
             "swap requires len(data_batch) == num_worlds"
         )
         self.scene_paths = data_batch
+        ab = self.config.agent_bucket
+        if ab == "auto":
+            ab = self.max_agent_count  # keep shapes stable across swaps
         try:
-            self.scene = build_scene(data_batch, self.params, self._max_roads)
+            self.scene = build_scene(
+                data_batch, self.params, self._max_roads, max_agents=ab
+            )
         except ValueError:
-            # batch needs a bigger road bucket -> recompile once
-            self.scene = build_scene(data_batch, self.params)
+            # batch needs a bigger bucket -> recompile once
+            self.scene = build_scene(
+                data_batch, self.params,
+                max_agents=self.config.agent_bucket,
+            )
             self._max_roads = self.scene.max_roads
+            self.max_agent_count = int(self.scene.agents.valid.shape[1])
         self.state = None
         self.reset()
 
@@ -746,7 +787,8 @@ class GPUDriveTPUEnv:
                     self._rng.choice(ids, size=k, replace=False).tolist()
                 )
         self.scene = build_scene(
-            self.scene_paths, self.params, self._max_roads, deleted
+            self.scene_paths, self.params, self._max_roads, deleted,
+            max_agents=self.config.agent_bucket,
         )
         self.state = None
         self.reset()

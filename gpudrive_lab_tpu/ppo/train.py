@@ -354,6 +354,9 @@ def main():
                    help="force a jax platform (e.g. 'cpu' for local smoke "
                         "runs — JAX_PLATFORMS alone is overridden by the "
                         "axon plugin's sitecustomize)")
+    p.add_argument("--agent-bucket", default=None,
+                   help="'auto' (or an int) buckets the sim's agent axis "
+                        "to the scene batch max instead of 128 rows")
     p.add_argument("--init-steps", type=int, default=0,
                    help="expert log-playback warmup steps applied at every "
                         "(auto-)reset; the reference trains with 11 "
@@ -423,6 +426,11 @@ def main():
         dynamics_model="classic",
         collision_behavior="ignore",
         init_steps=args.init_steps,
+        agent_bucket=(
+            int(args.agent_bucket)
+            if args.agent_bucket and args.agent_bucket != "auto"
+            else args.agent_bucket
+        ),
     )
     env = GPUDriveTPUEnv(cfg, data_loader=loader)
     ppo_cfg = PPOConfig(rollout_len=args.rollout_len,

@@ -390,12 +390,22 @@ def build_scene(
     params: Params,
     max_roads: int | None = None,
     deleted: dict[int, frozenset] | None = None,
+    max_agents: int | str | None = None,
 ) -> Scene:
     """Compile a batch of scenario JSONs into one stacked Scene pytree.
 
     Road capacity is bucketed (multiples of 256) to the batch maximum so that
     swapping in a new batch of similar scenes reuses the compiled step
     (the analogue of Manager::setMaps, reference: src/mgr.cpp:590-654).
+
+    max_agents buckets the AGENT axis the same way: None keeps the
+    reference's fixed kMaxAgentCount=128 rows; "auto" (or an explicit cap)
+    shrinks every [*, A, ...] array to the batch maximum rounded up to a
+    multiple of 16 — real WOMD scenes average ~35 created agents, so the
+    128-row padding costs ~3.7x in every agent-axis op (SAT collision, obs
+    lattices, dynamics).  Agents are created densely from slot 0, so
+    slicing is lossless; flat-feature ABI (127 partner slots) is restored
+    at observation-assembly time by zero-padding the feature block.
     """
     worlds = [
         compile_world(
@@ -429,9 +439,19 @@ def build_scene(
         pad = [(0, R - n)] + [(0, 0)] * (x.ndim - 1)
         return np.pad(x, pad, constant_values=fill)
 
+    if max_agents is None:
+        A_b = C.MAX_AGENTS
+    else:
+        need = max(w.num_agents for w in worlds)
+        cap = need if max_agents == "auto" else int(max_agents)
+        if cap < need:
+            raise ValueError(
+                f"max_agents={cap} below batch requirement {need}"
+            )
+        A_b = min(C.MAX_AGENTS, _bucket(cap, 16))
     agents = AgentsStatic(
         **{
-            k: jnp.asarray(np.stack([w.agent[k] for w in worlds]))
+            k: jnp.asarray(np.stack([w.agent[k][:A_b] for w in worlds]))
             for k in worlds[0].agent
         }
     )
