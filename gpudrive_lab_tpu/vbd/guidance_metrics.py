@@ -31,7 +31,7 @@ Batch layout (vbd/data_utils.py): ``agents_history`` [B, N, H, 8] =
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -140,20 +140,40 @@ def _agent_mask(batch: dict, A: int) -> jnp.ndarray:
     return (batch["agents_interested"][:, :A] > 0).astype(jnp.float32)
 
 
-def overlap_reward(clip: float = 5.0, weight: float = 1.0) -> RewardFn:
+def overlap_reward(
+    clip: float = 5.0,
+    weight: float = 1.0,
+    aoi: Optional[Sequence[int]] = None,
+    offset: float = 0.0,
+    saturate: bool = False,
+) -> RewardFn:
     """reference: overlap_metric.py OverlapReward.  Returns [B, A, T, A]
     signed distances, clipped contributions removed; ascending the sum
-    pushes close/overlapping pairs apart."""
+    pushes close/overlapping pairs apart.
+
+    ``aoi`` restricts the pair lattice to the listed agent indices (the
+    reference slices ``traj_5dof[:, aoi]``, overlap_metric.py:42-45).
+    ``offset`` shifts the signed distance; ``saturate`` clamps above at
+    ``clip`` instead of zeroing (keeps far pairs at the ceiling so min
+    reductions over pairs stay meaningful — the semantics ibr_guidance
+    needs, sim_actor.py:440-447)."""
 
     def fn(traj_pred, action_pred, batch):
         box = _traj_5dof(traj_pred, batch)  # [B, A, T, 5]
+        m = _agent_mask(batch, box.shape[1])
+        if aoi is not None:
+            idx = jnp.asarray(list(aoi), jnp.int32)
+            box = box[:, idx]
+            m = m[:, idx]
         A = box.shape[1]
         sd = signed_distance_obb(box[:, :, :, None], box[:, None, :, :].swapaxes(2, 3))
         # ^ box_i: [B, A, T, 1, 5]; box_j: [B, 1, A, T, 5] -> [B, 1, T, A, 5]
-        m = _agent_mask(batch, A)
+        sd = sd + offset
         valid = (m[:, :, None, None] * m[:, None, None, :]) > 0.5
         eye = jnp.eye(A, dtype=bool)[:, None, :]
         sd = jnp.where(valid & ~eye[None], sd, clip)
+        if saturate:
+            return jnp.minimum(sd, clip) * weight
         return sd * (sd < clip) * weight
 
     return fn
@@ -224,13 +244,21 @@ def _signed_dist_to_road_edge(query, xy, direction, pid, valid):
     return dist * sign
 
 
-def onroad_reward(weight: float = 0.1) -> RewardFn:
+def onroad_reward(
+    weight: float = 0.1, aoi: Optional[Sequence[int]] = None
+) -> RewardFn:
     """reference: onroad_metric.py OnroadReward — per-corner signed distance
     to the nearest road edge, max over corners; agents already offroad at
-    t=0 are not penalized; ascending pushes straddling corners back in."""
+    t=0 are not penalized; ascending pushes straddling corners back in.
+    ``aoi`` restricts to the listed agents (onroad_metric.py:41-44)."""
 
     def fn(traj_pred, action_pred, batch):
         box = _traj_5dof(traj_pred, batch)  # [B, A, T, 5]
+        m = _agent_mask(batch, box.shape[1])
+        if aoi is not None:
+            idx = jnp.asarray(list(aoi), jnp.int32)
+            box = box[:, idx]
+            m = m[:, idx]
         B, A, T = box.shape[:3]
         corners = obb_corners(box).reshape(B, A * T * 4, 2)
         xy, direction, pid, valid = _edge_points(batch)
@@ -239,7 +267,7 @@ def onroad_reward(weight: float = 0.1) -> RewardFn:
         )
         sd = sd.reshape(B, A, T, 4).max(axis=-1)  # [B, A, T]
         sd = sd * (sd[:, :, 0:1] < 0)  # only initially-onroad agents
-        cost = jax.nn.relu(sd) * _agent_mask(batch, A)[:, :, None] * weight
+        cost = jax.nn.relu(sd) * m[:, :, None] * weight
         return -cost
 
     return fn
