@@ -2,6 +2,8 @@
 per-host scene-path blocks, world->device placement of assembled arrays, and
 sharded-scene placement (parallel/distributed.py, parallel/mesh.py)."""
 
+import os
+
 import jax
 import numpy as np
 import pytest
@@ -76,3 +78,93 @@ def test_shard_worlds_scene_placement(mesh):
     assert set(devs) == set(mesh.devices.ravel())
     for s in valid.addressable_shards:
         assert np.asarray(s.data).shape[0] == 1  # one world per device
+
+
+class TestMultiProcess:
+    """REAL two-process jax.distributed (localhost coordinator, gloo CPU
+    collectives): initialize + shard_scene_paths + host_local_to_global +
+    sim step over the global mesh + cross-process all-reduce.  Upgrades the
+    single-process virtual-device evidence to an actual process boundary
+    (SURVEY §2.3 multi-host plan; parallel/distributed.py:32-87)."""
+
+    def _expected_total(self):
+        """Ground truth: the same 4-world rollout in THIS process."""
+        import jax
+        import jax.numpy as jnp
+
+        from gpudrive_lab_tpu.core import step as stepmod
+        from gpudrive_lab_tpu.core.types import (
+            CollisionBehaviour,
+            DynamicsModel,
+            Params,
+            RewardType,
+        )
+        from gpudrive_lab_tpu.scene.synthetic import synthetic_scene
+
+        params = Params(
+            dynamics_model=DynamicsModel.CLASSIC,
+            collision_behaviour=CollisionBehaviour.IGNORE,
+            reward_type=RewardType.DISTANCE_BASED,
+            max_num_controlled_agents=0,
+        )
+        scene = synthetic_scene(num_worlds=4, num_agents=3, num_roads=8, seed=7)
+        state = jax.jit(stepmod.reset, static_argnames="params")(
+            scene, None, params
+        )
+        acts = jnp.zeros((4, scene.agents.valid.shape[1], 10))
+        step_fn = jax.jit(stepmod.step, static_argnames="params")
+        for _ in range(5):
+            state = step_fn(scene, state, acts, params)
+        pos = np.asarray(state.pos)
+        return float(np.where(np.isfinite(pos), pos, 0.0).sum())
+
+    def test_two_process_psum_matches_single_process(self, tmp_path):
+        import socket
+        import subprocess
+        import sys
+
+        # free localhost port for the coordinator
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+
+        worker = os.path.join(
+            os.path.dirname(__file__), "helpers", "dist_worker.py"
+        )
+        env = {
+            k: v for k, v in os.environ.items()
+            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+        }
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(i), str(port),
+                 str(tmp_path / f"out_{i}.json")],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            )
+            for i in range(2)
+        ]
+        outs = [p.communicate(timeout=300)[0].decode() for p in procs]
+        for p, o in zip(procs, outs):
+            assert p.returncode == 0, f"worker failed:\n{o}"
+
+        import json
+
+        results = [
+            json.load(open(tmp_path / f"out_{i}.json")) for i in range(2)
+        ]
+        # both processes saw the 2-process / 4-device world
+        assert all(r["process_count"] == 2 for r in results)
+        # scene-path sharding: contiguous blocks per host in device order
+        assert results[0]["local_paths"] == [
+            "scene_0.json", "scene_1.json", "scene_2.json", "scene_3.json"
+        ]
+        assert results[1]["local_paths"] == [
+            "scene_4.json", "scene_5.json", "scene_6.json", "scene_7.json"
+        ]
+        # the cross-process all-reduce produced the same total on both
+        # processes, and it equals the single-process ground truth
+        assert results[0]["pos_total"] == results[1]["pos_total"]
+        expected = self._expected_total()
+        assert abs(results[0]["pos_total"] - expected) <= 1e-3 + 1e-6 * abs(
+            expected
+        ), (results[0]["pos_total"], expected)
