@@ -76,9 +76,17 @@ def main():
     env.reset()
     ctl = KeyboardController(env)
 
+    import os
+
     import matplotlib
 
-    matplotlib.use("TkAgg")
+    # interactive backend only when a display exists (the WASD window,
+    # reference: src/viewer.cpp); headless runs (CI) keep Agg
+    if os.environ.get("DISPLAY"):
+        try:
+            matplotlib.use("TkAgg")
+        except Exception:
+            pass
     import matplotlib.pyplot as plt
 
     fig, ax = plt.subplots(figsize=(8, 8))

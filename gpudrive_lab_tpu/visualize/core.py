@@ -23,7 +23,13 @@ from gpudrive_lab_tpu.visualize.color import (
     POLICY_COLORS,
     ROAD_GRAPH_COLORS,
 )
-from gpudrive_lab_tpu.visualize.utils import img_from_fig, plot_bounding_box
+from gpudrive_lab_tpu.visualize.utils import (
+    img_from_fig,
+    plot_bounding_box,
+    plot_crosswalk,
+    plot_speed_bump,
+    plot_stop_sign,
+)
 
 
 class MatplotlibVisualizer:
@@ -78,9 +84,21 @@ class MatplotlibVisualizer:
                     LineCollection(segs, colors=color, linewidths=lw, zorder=1)
                 )
             elif t == C.ET_STOP_SIGN:
-                ax.scatter(pos[m, 0], pos[m, 1], s=12, marker="H",
-                           color=color, zorder=2)
-            else:  # crosswalk / speed bump rectangles
+                for k in np.nonzero(m)[0]:
+                    plot_stop_sign(ax, pos[k, 0], pos[k, 1])
+            elif t == C.ET_CROSSWALK:
+                for k in np.nonzero(m)[0]:
+                    plot_crosswalk(
+                        ax, pos[k, 0], pos[k, 1], yaw[k],
+                        2 * scale[k, 0], 2 * scale[k, 1],
+                    )
+            elif t == C.ET_SPEED_BUMP:
+                for k in np.nonzero(m)[0]:
+                    plot_speed_bump(
+                        ax, pos[k, 0], pos[k, 1], yaw[k],
+                        2 * scale[k, 0], 2 * scale[k, 1],
+                    )
+            else:
                 for k in np.nonzero(m)[0]:
                     plot_bounding_box(
                         ax, pos[k, 0], pos[k, 1], yaw[k],
