@@ -101,31 +101,31 @@ def partner_observations(
 
     # Slot k of ego i reads agent k + (k >= i)
     # (the OtherAgents wiring, src/level_gen.cpp:450-464).
+    # TPU formulation: the all-but-self view is TWO STATIC SLICES blended by
+    # k < i — where(k < i, x[:A-1], x[1:]) — instead of a per-element gather
+    # (dynamic small-slice gathers run ~2 elem/cycle on TPU; this select is
+    # pure bandwidth).  Bitwise-identical to the gather in all layouts.
     k = jnp.arange(A - 1)
-    if ego_idx is None:
-        src = k[None, :] + (k[None, :] >= jnp.arange(A)[:, None])  # [A, A-1]
 
-        def take(x):  # [W, A(, d)] -> [W, A, A-1(, d)]
-            return x[:, src]
+    if ego_idx is None:
+
+        def take(x):  # [W, A, d] -> [W, A, A-1, d]
+            keep = (k[None, :] < jnp.arange(A)[:, None])[None, ..., None]
+            return jnp.where(keep, x[:, None, : A - 1], x[:, None, 1:])
 
     elif isinstance(ego_idx, tuple):
         w_idx, a_idx = ego_idx
-        src_f = k[None, :] + (k[None, :] >= a_idx[:, None])  # [N, A-1]
 
-        def take(x):  # [W, A(, d)] -> [N, A-1(, d)]
-            return x[w_idx[:, None], src_f]
+        def take(x):  # [W, A, d] -> [N, A-1, d]
+            full = x[w_idx]  # [N, A, d] block row gather
+            keep = (k[None, :] < a_idx[:, None])[..., None]  # [N, A-1, 1]
+            return jnp.where(keep, full[:, : A - 1], full[:, 1:])
 
     else:
-        W, C = ego_idx.shape
-        src_w = (
-            k[None, None, :] + (k[None, None, :] >= ego_idx[..., None])
-        )  # [W, C, A-1]
 
-        def take(x):  # [W, A(, d)] -> [W, C, A-1(, d)]
-            flat = src_w.reshape(W, C * (A - 1))
-            idx = flat.reshape(flat.shape + (1,) * (x.ndim - 2))
-            out = jnp.take_along_axis(x, idx.astype(jnp.int32), axis=1)
-            return out.reshape((W, C, A - 1) + x.shape[2:])
+        def take(x):  # [W, A, d] -> [W, C, A-1, d]
+            keep = (k[None, None, :] < ego_idx[..., None])[..., None]
+            return jnp.where(keep, x[:, None, : A - 1], x[:, None, 1:])
 
     # ONE packed gather instead of six per-attribute gathers: each gather is
     # its own (slow) HLO on TPU, and the gathered values are small ints/floats
@@ -218,10 +218,16 @@ def _gather_road_features(packed, idx, ego_pos, ego_yaw, w_idx=None):
     flagged in SURVEY.md §7).  Ego axes: [W, A] per-world (w_idx None) or
     flat [N] (w_idx [N] selects each ego's world rows).  Returns
     (features [..., K, 9], world-frame d2 [..., K], valid flag [..., K])."""
+    # Flat single-index-vector row gather: measurably faster than the
+    # 2-D advanced-index form on TPU (probe_gather_variants.py: 7.32 ->
+    # 6.44 ms/step at the peak config), same elements bitwise.
+    W, R = packed.shape[0], packed.shape[1]
+    flat = packed.reshape(W * R, packed.shape[2])
     if w_idx is not None:
-        sel_p = packed[w_idx[:, None], idx]  # [N, K, 10]
+        sel_p = flat[w_idx[:, None] * R + idx]  # [N, K, 10]
     else:
-        sel_p = jax.vmap(lambda xw, iw: xw[iw])(packed, idx)  # [W, A, K, 10]
+        w_of = jnp.arange(W).reshape((W,) + (1,) * (idx.ndim - 1))
+        sel_p = flat[w_of * R + idx]  # [W, A, K, 10]
     rel = sel_p[..., 0:2] - ego_pos[..., None, :]
     rel_ego = rotate_into_frame(rel, ego_yaw[..., None])
     heading = quat_yaw_diff(ego_yaw[..., None], sel_p[..., 5])
