@@ -65,25 +65,58 @@ def make_rnn_ppo_funcs(
         optax.adam(config.learning_rate, eps=1e-5),
     )
 
+    # Flat cross-world compaction (the feed-forward learner's fast path,
+    # ppo.py ctrl_slots): the LSTM state, obs, and BPTT replay all live on
+    # ONE flat [N] ego axis holding exactly the batch's controlled agents.
+    # Uncontrolled agents never act and never need recurrent state, and the
+    # BPTT rows are independent sequences, so row minibatching stays exact.
+    flat_mode = bool(config.compact) and config.compact_mode == "flat"
+
+    def ctrl_slots(scene):
+        ctrl = scene.agents.controlled.reshape(-1)
+        order = jnp.argsort(jnp.where(ctrl, 0, 1), stable=True)
+        order = order[: config.compact]
+        A = scene.agents.controlled.shape[1]
+        return order // A, order % A
+
     def rollout(scene, variables, carry: RnnCarry, fresh: SimState, weights):
         controlled = scene.agents.controlled
+        A = controlled.shape[1]
+        cidx = ctrl_slots(scene) if flat_mode else None
+
+        def gather_c(x):
+            return x[cidx[0], cidx[1]] if flat_mode else x
 
         def body(carry: RnnCarry, _):
             rng, k = jax.random.split(carry.rng)
             obs, _, _ = flat_observation(
-                scene, carry.state, params, spec, weights
+                scene, carry.state, params, spec, weights, cidx
             )
-            reset_pre = jnp.maximum(
-                (carry.state.done != 0).astype(jnp.float32),
-                carry.just_reset[:, None].astype(jnp.float32),
-            )
+            if flat_mode:
+                reset_pre = jnp.maximum(
+                    gather_c((carry.state.done != 0).astype(jnp.float32)),
+                    carry.just_reset[cidx[0]].astype(jnp.float32),
+                )
+            else:
+                reset_pre = jnp.maximum(
+                    (carry.state.done != 0).astype(jnp.float32),
+                    carry.just_reset[:, None].astype(jnp.float32),
+                )
             lstm, logits, value = policy.apply(
                 variables, obs, carry.lstm, reset_pre
             )
             a, logp, _ = sample_logits(k, logits)
-            mask = controlled & (carry.state.done == 0)
-            act = jnp.zeros(a.shape + (C.ACTION_DIM,), jnp.float32)
-            act = act.at[..., :3].set(action_table[a])
+            mask = gather_c(controlled & (carry.state.done == 0))
+            if flat_mode:
+                a_full = (
+                    jnp.zeros((controlled.shape[0], A), a.dtype)
+                    .at[cidx[0], cidx[1]]
+                    .set(a)
+                )
+            else:
+                a_full = a
+            act = jnp.zeros(a_full.shape + (C.ACTION_DIM,), jnp.float32)
+            act = act.at[..., :3].set(action_table[a_full])
             state = stepmod.step(scene, carry.state, act, params)
             # world clock: increment unless some agent finished, as the env
             # does before reward shaping (env_jax._step_with_indices)
@@ -98,8 +131,9 @@ def make_rnn_ppo_funcs(
             )
             done = (state.done != 0).astype(jnp.float32)
             t = RnnTransition(
-                obs=obs, reset_pre=reset_pre, action=a, logprob=logp,
-                value=value, reward=reward, done=done, mask=mask,
+                obs=obs.astype(config.obs_store_dtype), reset_pre=reset_pre,
+                action=a, logprob=logp, value=value,
+                reward=gather_c(reward), done=gather_c(done), mask=mask,
             )
             world_done = jnp.all(
                 (state.done != 0) | ~scene.agents.valid, axis=1
@@ -111,6 +145,12 @@ def make_rnn_ppo_funcs(
             wts = jnp.where(world_done, 0, wts_mid)
             return RnnCarry(state, lstm, wts, rng, world_done), t
 
+        if config.unroll:
+            ts = []
+            for _ in range(config.rollout_len):
+                carry, t = body(carry, None)
+                ts.append(t)
+            return carry, jax.tree.map(lambda *xs: jnp.stack(xs), *ts)
         return jax.lax.scan(body, carry, None, length=config.rollout_len)
 
     def gae(traj, last_value):
@@ -127,7 +167,9 @@ def make_rnn_ppo_funcs(
 
         def scan_body(lstm, xs):
             obs, reset_pre, action = xs
-            lstm, logits, value = policy.apply(variables, obs, lstm, reset_pre)
+            lstm, logits, value = policy.apply(
+                variables, obs.astype(jnp.float32), lstm, reset_pre
+            )
             logp_all = jax.nn.log_softmax(logits)
             logp = jnp.take_along_axis(
                 logp_all, action[..., None].astype(jnp.int32), axis=-1
@@ -135,9 +177,22 @@ def make_rnn_ppo_funcs(
             ent = -jnp.sum(jnp.exp(logp_all) * logp_all, axis=-1)
             return lstm, (logp, ent, value)
 
-        _, (newlogp, entropy, newvalue) = jax.lax.scan(
-            scan_body, init_lstm, (mb["obs"], mb["reset_pre"], mb["action"])
-        )
+        if config.unroll:
+            T = mb["obs"].shape[0]
+            lstm, outs = init_lstm, []
+            for t in range(T):
+                lstm, o = scan_body(
+                    lstm, (mb["obs"][t], mb["reset_pre"][t], mb["action"][t])
+                )
+                outs.append(o)
+            newlogp, entropy, newvalue = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *outs
+            )
+        else:
+            _, (newlogp, entropy, newvalue) = jax.lax.scan(
+                scan_body, init_lstm,
+                (mb["obs"], mb["reset_pre"], mb["action"]),
+            )
 
         m = mb["mask"].astype(jnp.float32)
         msum = jnp.maximum(m.sum(), 1.0)
@@ -168,15 +223,22 @@ def make_rnn_ppo_funcs(
                    fresh: SimState, weights):
         init_lstm = carry.lstm
         carry, traj = rollout(scene, variables, carry, fresh, weights)
+        cidx = ctrl_slots(scene) if flat_mode else None
         last_obs, _, _ = flat_observation(
-            scene, carry.state, params, spec, weights
+            scene, carry.state, params, spec, weights, cidx
         )
-        _, _, last_value = policy.apply(
-            variables, last_obs, carry.lstm,
-            jnp.maximum(
+        if flat_mode:
+            reset_last = jnp.maximum(
+                (carry.state.done[cidx[0], cidx[1]] != 0).astype(jnp.float32),
+                carry.just_reset[cidx[0]].astype(jnp.float32),
+            )
+        else:
+            reset_last = jnp.maximum(
                 (carry.state.done != 0).astype(jnp.float32),
                 carry.just_reset[:, None].astype(jnp.float32),
-            ),
+            )
+        _, _, last_value = policy.apply(
+            variables, last_obs, carry.lstm, reset_last
         )
         advs, rets = gae(traj, last_value)
         batch = {
@@ -184,13 +246,16 @@ def make_rnn_ppo_funcs(
             "logprob": traj.logprob, "value": traj.value, "adv": advs,
             "ret": rets, "mask": traj.mask,
         }
-        W = traj.obs.shape[1]
-        M = min(config.num_minibatches, W)
-        assert W % M == 0, "num worlds must divide num_minibatches"
+        # Minibatch over axis 1: worlds [T, W, A, ...] in dense mode, flat
+        # ego rows [T, N, ...] in flat mode — BPTT rows are independent
+        # sequences, so row minibatching is exact in both layouts.
+        B = traj.obs.shape[1]
+        M = min(config.num_minibatches, B)
+        assert B % M == 0, "minibatch axis must divide num_minibatches"
 
         def epoch_body(carry_in, rng_e):
             variables, opt_state = carry_in
-            perm = jax.random.permutation(rng_e, W)
+            perm = jax.random.permutation(rng_e, B)
 
             def mb_body(carry_mb, w_idx):
                 variables, opt_state = carry_mb
@@ -203,16 +268,35 @@ def make_rnn_ppo_funcs(
                 variables = optax.apply_updates(variables, updates)
                 return (variables, opt_state), aux
 
-            (variables, opt_state), auxes = jax.lax.scan(
-                mb_body, (variables, opt_state), perm.reshape(M, W // M)
-            )
+            mb_indices = perm.reshape(M, B // M)
+            if config.unroll:
+                auxes = []
+                for m in range(M):
+                    (variables, opt_state), aux = mb_body(
+                        (variables, opt_state), mb_indices[m]
+                    )
+                    auxes.append(aux)
+                auxes = jax.tree.map(lambda *xs: jnp.stack(xs), *auxes)
+            else:
+                (variables, opt_state), auxes = jax.lax.scan(
+                    mb_body, (variables, opt_state), mb_indices
+                )
             return (variables, opt_state), auxes
 
         rng_epochs, rng_next = jax.random.split(carry.rng)
         rngs = jax.random.split(rng_epochs, config.update_epochs)
-        (variables, opt_state), auxes = jax.lax.scan(
-            epoch_body, (variables, opt_state), rngs
-        )
+        if config.unroll:
+            auxes = []
+            for e in range(config.update_epochs):
+                (variables, opt_state), aux = epoch_body(
+                    (variables, opt_state), rngs[e]
+                )
+                auxes.append(aux)
+            auxes = jax.tree.map(lambda *xs: jnp.stack(xs), *auxes)
+        else:
+            (variables, opt_state), auxes = jax.lax.scan(
+                epoch_body, (variables, opt_state), rngs
+            )
         carry = carry._replace(rng=rng_next)
         metrics = jax.tree.map(lambda x: x.mean(), auxes)
         metrics["samples"] = traj.mask.sum()
@@ -226,7 +310,9 @@ def make_rnn_ppo_funcs(
             jnp.zeros(example_obs.shape[0]),
         )
         opt_state = tx.init(variables)
-        lstm = policy.initialize_carry((num_worlds, C.MAX_AGENTS))
+        lstm = policy.initialize_carry(
+            (config.compact,) if flat_mode else (num_worlds, C.MAX_AGENTS)
+        )
         return variables, opt_state, lstm
 
     return init_fn, train_step

@@ -32,6 +32,17 @@ def main():
     p.add_argument("--ent-coef", type=float, default=1e-3)
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--init-steps", type=int, default=11)
+    p.add_argument("--compact", type=int, default=0,
+                   help="flat cross-world compaction: N flat ego rows "
+                        "holding exactly the batch's controlled agents "
+                        "(0 = dense [W, A] layout)")
+    p.add_argument("--policy-dtype", choices=["f32", "bf16"], default="f32")
+    p.add_argument("--obs-store", choices=["f32", "bf16"], default="f32")
+    p.add_argument("--unroll", action="store_true",
+                   help="trace rollout/BPTT/minibatch loops as straight-line "
+                        "code (single While-free program)")
+    p.add_argument("--agent-bucket", default=None,
+                   help="'auto' buckets the sim agent axis to the batch max")
     p.add_argument("--checkpoint-path", default="runs/rnn")
     p.add_argument("--continue-training", action="store_true")
     p.add_argument("--seed", type=int, default=42)
@@ -73,10 +84,16 @@ def main():
             goal_achieved_weight=1.0,
             dynamics_model="classic", collision_behavior="ignore",
             init_steps=args.init_steps,
+            agent_bucket=args.agent_bucket,
         ),
         data_loader=loader,
     )
-    pc = PolicyConfig(action_dim=env.action_space_n)
+    import jax.numpy as _jnp
+
+    pc = PolicyConfig(
+        action_dim=env.action_space_n,
+        dtype=_jnp.bfloat16 if args.policy_dtype == "bf16" else _jnp.float32,
+    )
     policy = LateFusionLSTMPolicy(pc, lstm_hidden=args.lstm_hidden)
     ppo_cfg = PPOConfig(
         rollout_len=args.rollout_len,
@@ -84,7 +101,16 @@ def main():
         update_epochs=args.update_epochs,
         ent_coef=args.ent_coef,
         learning_rate=args.lr,
+        compact=args.compact,
+        compact_mode="flat" if args.compact else "world",
+        obs_store_dtype="bfloat16" if args.obs_store == "bf16"
+        else "float32",
+        unroll=args.unroll,
     )
+    if args.compact:
+        from gpudrive_lab_tpu.ppo.train import check_compact_capacity
+
+        check_compact_capacity(env, args.compact, "flat")
     init_fn, train_step = make_rnn_ppo_funcs(
         policy, env.params, env.spec, env.action_keys,
         env.config.reward_type, ppo_cfg,
