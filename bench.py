@@ -84,6 +84,7 @@ def bench_train(args):
         compact_mode=args.compact_mode,
         policy_dtype="bfloat16" if args.policy_dtype == "bf16"
         else "float32",
+        minibatch_rows=args.minibatch_rows,
     )
     policy, variables, opt_state, carry, fresh, train_fn = build_trainer(
         env, ppo_cfg, seed=0, rollout_mode=args.rollout_mode,
@@ -220,6 +221,9 @@ def main():
     p.add_argument("--rollout-len", type=int, default=32)
     p.add_argument("--train-iters", type=int, default=8,
                    help="train steps per timing repetition (--train)")
+    p.add_argument("--minibatch-rows", type=int, default=0,
+                   help="flat mode: also slice minibatches to this many "
+                        "rows of the flat agent axis (0 = time-only)")
     p.add_argument("--num-minibatches", type=int, default=16,
                    help="PPO minibatches per epoch (--train); 16 keeps the "
                         "obs-rematerialization slices small")

@@ -103,6 +103,14 @@ class PPOConfig:
     # GEMM-bound (road embed alone is ~180 GFLOP per 16K-sample minibatch),
     # so this is the main post-scatter-fix throughput lever.
     policy_dtype: str = "float32"
+    # Row-axis minibatch slicing (flat compaction only): cut each minibatch
+    # to `minibatch_rows` agents of the flat [N] axis in addition to the
+    # time slice, so minibatch HBM stays bounded as W grows (the W>=1024
+    # unlock — time slices alone bottom out at [1, N] = one full env step).
+    # num_minibatches stays the TOTAL per epoch: it must be divisible by
+    # G = N // minibatch_rows, and num_minibatches // G must divide
+    # rollout_len.  0 = whole-row minibatches (time slicing only).
+    minibatch_rows: int = 0
 
 
 class Transition(NamedTuple):
@@ -190,6 +198,8 @@ def make_ppo_funcs(
 
     flat_mode = config.compact and config.compact_mode == "flat"
     batch_lead = 2 if flat_mode else 3  # traj arrays: [T, N] vs [T, W, C]
+    if config.minibatch_rows and not flat_mode:
+        raise ValueError("minibatch_rows requires compact_mode='flat'")
 
     def ctrl_slots(scene):
         """Controlled-first ego-axis selection, derived inside the jit.
@@ -355,6 +365,15 @@ def make_ppo_funcs(
             # Rematerialize flat observations for this minibatch from the
             # stored SimStates ([Tm] time-sliced; vmap over the time axis).
             cidx = ctrl_slots(scene) if config.compact else None
+            if flat_mode and config.minibatch_rows and "row_start" in mb:
+                # Row-sliced minibatch: recompute obs only for this block's
+                # agents (flat_observation takes any (w_idx, a_idx) subset).
+                cidx = tuple(
+                    jax.lax.dynamic_slice_in_dim(
+                        c, mb["row_start"], config.minibatch_rows, 0
+                    )
+                    for c in cidx
+                )
             obs = jax.vmap(
                 lambda st: flat_observation(
                     scene, st, params, spec, reward_weights, cidx
@@ -433,18 +452,60 @@ def make_ppo_funcs(
 
         T = config.rollout_len
         M = config.num_minibatches
-        assert T % M == 0, "num_minibatches must divide rollout_len"
+        use_rows = bool(flat_mode) and config.minibatch_rows > 0
+        if use_rows:
+            # Factor the M total minibatches into time groups x row blocks:
+            # each minibatch is a [Tm, rows] tile of the [T, N] batch, so
+            # minibatch HBM stays bounded as N (= worlds) grows.
+            rows = config.minibatch_rows
+            N_flat = config.compact
+            assert N_flat % rows == 0, "minibatch_rows must divide compact"
+            G = N_flat // rows
+            assert M % G == 0, (
+                "num_minibatches must be divisible by compact//minibatch_rows"
+            )
+            M_t = M // G
+            assert T % M_t == 0, (
+                "num_minibatches//(compact//minibatch_rows) must divide "
+                "rollout_len"
+            )
+        else:
+            assert T % M == 0, "num_minibatches must divide rollout_len"
 
         def epoch_body(carry_in, rng_e):
             variables, opt_state = carry_in
-            perm = jax.random.permutation(rng_e, T)
 
-            def mb_body(carry_mb, mb_idx):
+            if use_rows:
+                rng_t, rng_p = jax.random.split(rng_e)
+                perm = jax.random.permutation(rng_t, T).reshape(M_t, T // M_t)
+                # visit the (time-group, row-block) grid in random order
+                pairs = jax.random.permutation(rng_p, M)
+                t_indices = perm[pairs // G]        # [M, Tm]
+                row_starts = (pairs % G) * rows     # [M]
+                pids = pairs                        # unique per minibatch
+            else:
+                perm = jax.random.permutation(rng_e, T)
+                t_indices = perm.reshape(M, T // M)
+                row_starts = jnp.zeros((M,), jnp.int32)
+                pids = t_indices[:, 0]
+
+            def mb_body(carry_mb, xs):
+                mb_idx, rstart, pid = xs
                 variables, opt_state = carry_mb
-                take = lambda x: jnp.take(x, mb_idx, axis=0).reshape(
-                    (-1,) + x.shape[batch_lead:]
-                )
+                if use_rows:
+                    def take(x):
+                        xt = jnp.take(x, mb_idx, axis=0)
+                        xr = jax.lax.dynamic_slice_in_dim(
+                            xt, rstart, rows, axis=1
+                        )
+                        return xr.reshape((-1,) + x.shape[batch_lead:])
+                else:
+                    take = lambda x: jnp.take(x, mb_idx, axis=0).reshape(
+                        (-1,) + x.shape[batch_lead:]
+                    )
                 mb = {k: take(v) for k, v in batch.items()}
+                if use_rows:
+                    mb["row_start"] = rstart
                 if config.remat_obs:
                     # keep the [Tm, W, A] layout — loss_fn vmaps the obs
                     # recompute over the time axis
@@ -452,25 +513,29 @@ def make_ppo_funcs(
                         lambda x: jnp.take(x, mb_idx, axis=0), traj.env_state
                     )
                 (loss, aux), grads = grad_fn(
-                    variables, mb, jax.random.fold_in(rng_e, mb_idx[0]),
+                    variables, mb, jax.random.fold_in(rng_e, pid),
                     scene, reward_weights, ent_coef,
                 )
                 updates, opt_state = tx.update(grads, opt_state, variables)
                 variables = optax.apply_updates(variables, updates)
                 return (variables, opt_state), aux
 
-            mb_indices = perm.reshape(M, T // M)
+            # pid keeps per-minibatch rng keys distinct; in the legacy
+            # (time-only) layout it reproduces the old fold_in(mb_idx[0])
+            # stream so round-3 configs stay bitwise-reproducible.
             if config.unroll:
                 auxes = []
                 for m in range(M):
                     (variables, opt_state), aux = mb_body(
-                        (variables, opt_state), mb_indices[m]
+                        (variables, opt_state),
+                        (t_indices[m], row_starts[m], pids[m]),
                     )
                     auxes.append(aux)
                 auxes = jax.tree.map(lambda *xs: jnp.stack(xs), *auxes)
             else:
                 (variables, opt_state), auxes = jax.lax.scan(
-                    mb_body, (variables, opt_state), mb_indices
+                    mb_body, (variables, opt_state),
+                    (t_indices, row_starts, pids),
                 )
             return (variables, opt_state), auxes
 

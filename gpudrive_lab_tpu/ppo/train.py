@@ -369,6 +369,10 @@ def main():
                         "toward --ent-coef above 2x the floor; 0 disables "
                         "(fixes the collapse seen in short runs)")
     p.add_argument("--num-minibatches", type=int, default=4)
+    p.add_argument("--minibatch-rows", type=int, default=0,
+                   help="flat mode: also slice minibatches to this many "
+                        "rows of the flat agent axis (0 = time-only); "
+                        "num-minibatches stays the TOTAL per epoch")
     p.add_argument("--update-epochs", type=int, default=4)
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--compact", type=int, default=0,
@@ -444,7 +448,8 @@ def main():
                         obs_store_dtype="bfloat16"
                         if args.obs_store == "bf16" else "float32",
                         policy_dtype="bfloat16"
-                        if args.policy_dtype == "bf16" else "float32")
+                        if args.policy_dtype == "bf16" else "float32",
+                        minibatch_rows=args.minibatch_rows)
     policy, variables, opt_state, carry, fresh, train_fn = build_trainer(
         env, ppo_cfg, seed=args.seed, rollout_mode=args.rollout_mode,
         iters_per_dispatch=args.iters_per_dispatch,

@@ -402,3 +402,78 @@ def test_flat_capacity_guard(trainer):
     check_compact_capacity(env, n_ctrl, "flat")  # exact fit passes
     with pytest.raises(ValueError):
         check_compact_capacity(env, n_ctrl - 1, "flat")
+
+
+def test_minibatch_rows_trains_and_covers_grid(trainer):
+    """Row-axis minibatch slicing (flat mode): the (time-group, row-block)
+    grid still consumes exactly the full batch every epoch, losses stay
+    finite, params update, and the remat-obs path recomputes observations
+    only for the sliced rows (the W>=1024 HBM unlock)."""
+    env, _ = trainer
+    n_ctrl = int(np.asarray(env.scene.agents.controlled).sum())
+    cap = ((n_ctrl + 1) // 2) * 2  # even, >= n_ctrl (flat padding rows)
+    base = dict(rollout_len=8, compact=cap, compact_mode="flat")
+
+    results = {}
+    for name, kw in (
+        ("time_only", dict(num_minibatches=2)),
+        ("rows", dict(num_minibatches=4, minibatch_rows=cap // 2)),
+        ("rows_remat", dict(num_minibatches=4, minibatch_rows=cap // 2,
+                            remat_obs=True)),
+    ):
+        _, variables, opt_state, carry, fresh, train_fn = build_trainer(
+            env, PPOConfig(**base, **kw), seed=7,
+        )
+        before = np.asarray(jax.tree.leaves(variables)[0]).copy()
+        variables, opt_state, carry, metrics = train_fn(
+            env.scene, variables, opt_state, carry, fresh, env.reward_weights
+        )
+        after = np.asarray(jax.tree.leaves(variables)[0])
+        assert not np.allclose(before, after), f"{name}: params did not update"
+        results[name] = {k: float(np.asarray(v)) for k, v in metrics.items()}
+
+    for name, m in results.items():
+        for k in ("pg_loss", "v_loss", "entropy", "approx_kl"):
+            assert np.isfinite(m[k]), f"{name}.{k} not finite"
+    # identical rollout sample accounting regardless of minibatch layout
+    assert results["rows"]["samples"] == results["time_only"]["samples"]
+    assert results["rows_remat"]["samples"] == results["time_only"]["samples"]
+
+
+def test_minibatch_rows_single_group_matches_time_only(trainer):
+    """With one minibatch covering all rows and all T, the row-sliced path
+    consumes the identical sample set as the legacy time-only path — the
+    per-minibatch losses must agree up to fp reduction order (row order
+    inside the minibatch differs via the permutation rng split)."""
+    env, _ = trainer
+    n_ctrl = int(np.asarray(env.scene.agents.controlled).sum())
+    results = {}
+    for name, kw in (
+        ("time_only", dict(num_minibatches=1)),
+        ("rows", dict(num_minibatches=1, minibatch_rows=n_ctrl)),
+    ):
+        _, variables, opt_state, carry, fresh, train_fn = build_trainer(
+            env,
+            PPOConfig(rollout_len=8, update_epochs=1, compact=n_ctrl,
+                      compact_mode="flat", **kw),
+            seed=3,
+        )
+        variables, opt_state, carry, metrics = train_fn(
+            env.scene, variables, opt_state, carry, fresh, env.reward_weights
+        )
+        results[name] = {k: float(np.asarray(v)) for k, v in metrics.items()}
+    for k in ("pg_loss", "v_loss", "entropy", "samples"):
+        assert np.isclose(
+            results["rows"][k], results["time_only"][k],
+            rtol=1e-4, atol=1e-6,
+        ), (k, results["rows"][k], results["time_only"][k])
+
+
+def test_minibatch_rows_requires_flat_mode():
+    from gpudrive_lab_tpu.ppo.ppo import make_ppo_funcs
+
+    with pytest.raises(ValueError):
+        make_ppo_funcs(
+            None, None, None, None, "weighted_combination",
+            PPOConfig(compact=4, compact_mode="world", minibatch_rows=2),
+        )
