@@ -38,6 +38,12 @@ class SceneDataLoader:
             for scene in sorted(os.listdir(self.root))
             if scene.startswith(self.file_prefix)
         ]
+        if not self.dataset:
+            raise ValueError(
+                f"no scene files starting with {self.file_prefix!r} in "
+                f"{self.root} (the reference's WOMD naming convention, "
+                "reference: gpudrive/env/dataset.py:13)"
+            )
         self.dataset = self.dataset[: min(self.dataset_size, len(self.dataset))]
         if self.scene_nums is not None:
             # bound-check against the files actually present, not the

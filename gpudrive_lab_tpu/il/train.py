@@ -104,32 +104,71 @@ def evaluate_closed_loop(env: GPUDriveTPUEnv, model, variables,
     }
 
 
+def _concat_data_batches(parts: list[dict]) -> dict:
+    """Concatenate per-scene-batch rollout dicts along the world axis.
+
+    [T, W, ...] arrays concat on axis 1; [W, A] masks on axis 0."""
+    out = {}
+    for k in parts[0]:
+        axis = 0 if k in ("controlled_mask", "valid_mask") else 1
+        out[k] = np.concatenate([p[k] for p in parts], axis=axis)
+    return out
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--data-dir", default="/root/reference/data/processed/examples")
     p.add_argument("--num-worlds", type=int, default=2)
+    p.add_argument("--num-batches", type=int, default=1,
+                   help="scene batches to roll out for expert data "
+                        "(num_worlds scenes each, advanced with "
+                        "swap_data_batch — the IL scaling axis)")
     p.add_argument("--epochs", type=int, default=2)
     p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--agent-bucket", type=int, default=None,
+                   help="pad the agent axis to this bucket (memory lever "
+                        "for large scene pools; obs width tracks it)")
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--eval-heldout", action="store_true",
+                   help="also evaluate closed-loop on the NEXT (unseen) "
+                        "scene batch from the loader")
     p.add_argument("--out", default="runs/bc_policy.pkl")
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. 'cpu' for local smoke)")
     args = p.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     loader = SceneDataLoader(
-        root=args.data_dir, batch_size=args.num_worlds, dataset_size=1000
+        root=args.data_dir, batch_size=args.num_worlds, dataset_size=100000
     )
     env_cfg = EnvConfig(
         num_worlds=args.num_worlds,
         dynamics_model="delta_local",
         collision_behavior="ignore",
         max_controlled_agents=0,  # all-expert for data generation
+        agent_bucket=args.agent_bucket,
     )
     env = GPUDriveTPUEnv(env_cfg, data_loader=loader)
-    data = generate_state_action_pairs(env)
+    parts = [generate_state_action_pairs(env)]
+    first_batch_paths = list(env.scene_paths)
+    for b in range(1, args.num_batches):
+        env.swap_data_batch()
+        parts.append(generate_state_action_pairs(env))
+        print(f"data batch {b + 1}/{args.num_batches} collected", flush=True)
+    data = _concat_data_batches(parts)
+    del parts
     # For BC training, treat every valid agent's log as supervision.
     data["controlled_mask"] = data["valid_mask"]
-    cfg = BCTrainConfig(batch_size=args.batch_size, epochs=args.epochs)
+    cfg = BCTrainConfig(batch_size=args.batch_size, epochs=args.epochs,
+                        lr=args.lr)
     ds = ExpertDataset(data, rollout_len=cfg.rollout_len)
-    print(f"dataset: {len(ds)} samples")
+    print(f"dataset: {len(ds)} samples "
+          f"({args.num_batches * args.num_worlds} scenes)")
 
+    # NB: the flat-obs ABI is fixed at 127 partner slots even when the sim's
+    # agent axis is bucketed (env_jax pads raw rows with id=-2 fillers), so
+    # BCConfig keeps its defaults regardless of --agent-bucket.
     bc_cfg = BCConfig(num_stack=cfg.rollout_len)
     model = EarlyFusionAttnBCNet(bc_cfg)
     rng = np.random.default_rng(0)
@@ -168,13 +207,18 @@ def main():
             f,
         )
     # Closed-loop eval needs an env where the policy actually controls
-    # agents (the data-generation env was all-expert).
-    eval_env = GPUDriveTPUEnv(
-        dataclasses.replace(env_cfg, max_controlled_agents=128),
-        scene_paths=env.scene_paths,
-    )
+    # agents (the data-generation env was all-expert).  In-distribution
+    # eval runs on the FIRST training batch; --eval-heldout additionally
+    # pulls the next, never-trained-on batch from the same loader.
+    eval_cfg = dataclasses.replace(env_cfg, max_controlled_agents=128)
+    eval_env = GPUDriveTPUEnv(eval_cfg, scene_paths=first_batch_paths)
     metrics = evaluate_closed_loop(eval_env, model, variables, bc_cfg)
-    print(json.dumps(metrics))
+    print(json.dumps({"split": "train", **metrics}))
+    if args.eval_heldout:
+        heldout_paths = next(env.data_iterator)
+        heldout_env = GPUDriveTPUEnv(eval_cfg, scene_paths=heldout_paths)
+        metrics = evaluate_closed_loop(heldout_env, model, variables, bc_cfg)
+        print(json.dumps({"split": "heldout", **metrics}))
 
 
 if __name__ == "__main__":

@@ -487,6 +487,8 @@ def main():
     global_step = start_step
     iteration = 0
     resampled_at = start_step
+    resample_count = 0
+    resample_time_s = 0.0
     ent_coef = args.ent_coef
     ep_win_keys = ("perc_goal_achieved", "perc_collisions", "perc_off_road")
     ep_win = dict.fromkeys(("episodes",) + ep_win_keys, 0.0)
@@ -517,6 +519,8 @@ def main():
                     if args.packed_io:
                         train_fn.set_env(env.scene, fresh, carry)
                 resampled_at = global_step
+                resample_count += 1
+                resample_time_s = profile.elapsed["env"]
             with profile.phase("learn"):
                 # ONE batched device->host fetch (per-key np.asarray would
                 # be |metrics| blocking round trips on remote runtimes).
@@ -572,6 +576,8 @@ def main():
                 rec = dict(
                     iteration=iteration,
                     global_step=global_step,
+                    resamples=resample_count,
+                    resample_time_s=round(resample_time_s, 2),
                     **{k: round(v, 5) for k, v in m.items()},
                     **profile.summary(),
                     **util.summary(),

@@ -158,7 +158,10 @@ def make_scene(seed: int) -> dict:
         )
 
     return {
-        "name": f"synthetic_pool_{seed}.json",
+        # SceneDataLoader discovers scenes by the reference's "tfrecord"
+        # filename prefix (reference: gpudrive/env/dataset.py:13) — the
+        # pool must follow the same convention to be loadable.
+        "name": f"tfrecord-synth_{seed}.json",
         "scenario_id": f"synthpool{seed:05d}",
         "objects": objects,
         "roads": roads,
@@ -203,7 +206,7 @@ def main():
         max_roads = max(max_roads, segs)
         max_agents = max(max_agents, len(scene["objects"]))
         with open(
-            os.path.join(args.out, f"synthetic_pool_{args.seed0 + i}.json"),
+            os.path.join(args.out, f"tfrecord-synth_{args.seed0 + i}.json"),
             "w",
         ) as f:
             json.dump(scene, f)
