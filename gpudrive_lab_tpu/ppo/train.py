@@ -357,6 +357,11 @@ def main():
     p.add_argument("--agent-bucket", default=None,
                    help="'auto' (or an int) buckets the sim's agent axis "
                         "to the scene batch max instead of 128 rows")
+    p.add_argument("--max-roads", type=int, default=None,
+                   help="pin the road-axis bucket (rounded up to 256) so "
+                        "mixed-size scene batches stay shape-stable across "
+                        "--resample-interval swaps — no mid-campaign "
+                        "recompiles")
     p.add_argument("--init-steps", type=int, default=0,
                    help="expert log-playback warmup steps applied at every "
                         "(auto-)reset; the reference trains with 11 "
@@ -436,7 +441,7 @@ def main():
             else args.agent_bucket
         ),
     )
-    env = GPUDriveTPUEnv(cfg, data_loader=loader)
+    env = GPUDriveTPUEnv(cfg, data_loader=loader, max_roads=args.max_roads)
     ppo_cfg = PPOConfig(rollout_len=args.rollout_len,
                         num_minibatches=args.num_minibatches,
                         ent_coef=args.ent_coef,

@@ -48,6 +48,9 @@ EOF
     --init-steps "${INIT_STEPS:-11}" \
     --iters-per-dispatch "${ITERS_PER_DISPATCH:-1}" \
     ${PACKED_IO:+--packed-io} \
+    ${DATA_DIR:+--data-dir "$DATA_DIR"} \
+    ${AGENT_BUCKET:+--agent-bucket "$AGENT_BUCKET"} \
+    ${MAX_ROADS:+--max-roads "$MAX_ROADS"} \
     --resample-interval "${RESAMPLE_INTERVAL:-0}" \
     --checkpoint-interval 25 \
     --total-timesteps "$TARGET" \
