@@ -211,23 +211,52 @@ def _packed_road_columns(roads) -> jnp.ndarray:
     )
 
 
-def _gather_road_features(packed, idx, ego_pos, ego_yaw, w_idx=None):
+def _dot_gather_rows(packed, idx, w_idx=None):
+    """MXU one-hot matmul gather of the [..., K] winners' packed columns.
+
+    TPU element gathers retire ~2 elem/cycle; expressing the same selection
+    as one-hot [.., K, R] x packed [.., R, 10] rides the MXU instead.  XLA
+    fuses the iota-compare one-hot into the dot operand (VMEM tiles only),
+    so nothing K*R-wide hits HBM.  EXACT in f32/HIGHEST: each output element
+    is a sum with exactly one nonzero term (1.0 * value)."""
+    R = packed.shape[1]
+    oh = (idx[..., None] == jnp.arange(R, dtype=jnp.int32)).astype(jnp.float32)
+    if w_idx is not None:
+        pw = packed[w_idx]  # [N, R, 10] contiguous block-row gather
+        return jax.lax.dot_general(
+            oh, pw, (((2,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # [N, K, 10]
+    # per-world layout [W, A, K, R] x [W, R, 10] -> batch dim W
+    return jax.lax.dot_general(
+        oh, packed, (((3,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # [W, A, K, 10]
+
+
+def _gather_road_features(packed, idx, ego_pos, ego_yaw, w_idx=None,
+                          method: str = "take"):
     """Gather-then-compute: fetch the [..., K] winners' packed columns and
     only then build the 9-wide ego-frame MapObservation features — the
     [..., R] lattice never materializes 9-wide (the bandwidth hot spot
     flagged in SURVEY.md §7).  Ego axes: [W, A] per-world (w_idx None) or
     flat [N] (w_idx [N] selects each ego's world rows).  Returns
     (features [..., K, 9], world-frame d2 [..., K], valid flag [..., K])."""
-    # Flat single-index-vector row gather: measurably faster than the
-    # 2-D advanced-index form on TPU (probe_gather_variants.py: 7.32 ->
-    # 6.44 ms/step at the peak config), same elements bitwise.
-    W, R = packed.shape[0], packed.shape[1]
-    flat = packed.reshape(W * R, packed.shape[2])
-    if w_idx is not None:
-        sel_p = flat[w_idx[:, None] * R + idx]  # [N, K, 10]
+    if method == "dot":
+        sel_p = _dot_gather_rows(packed, idx, w_idx)
     else:
-        w_of = jnp.arange(W).reshape((W,) + (1,) * (idx.ndim - 1))
-        sel_p = flat[w_of * R + idx]  # [W, A, K, 10]
+        # Flat single-index-vector row gather: measurably faster than the
+        # 2-D advanced-index form on TPU (probe_gather_variants.py: 7.32 ->
+        # 6.44 ms/step at the peak config), same elements bitwise.
+        W, R = packed.shape[0], packed.shape[1]
+        flat = packed.reshape(W * R, packed.shape[2])
+        if w_idx is not None:
+            sel_p = flat[w_idx[:, None] * R + idx]  # [N, K, 10]
+        else:
+            w_of = jnp.arange(W).reshape((W,) + (1,) * (idx.ndim - 1))
+            sel_p = flat[w_of * R + idx]  # [W, A, K, 10]
     rel = sel_p[..., 0:2] - ego_pos[..., None, :]
     rel_ego = rotate_into_frame(rel, ego_yaw[..., None])
     heading = quat_yaw_diff(ego_yaw[..., None], sel_p[..., 5])
@@ -294,7 +323,8 @@ def agent_map_observations(
             )
 
         sel, sel_d2, sel_valid = _gather_road_features(
-            _packed_road_columns(roads), idx, ego_pos, ego_yaw, w_idx
+            _packed_road_columns(roads), idx, ego_pos, ego_yaw, w_idx,
+            method=params.road_gather,
         )
         if K_eff < K:
             pad = jnp.arange(K) >= K_eff
@@ -329,7 +359,8 @@ def agent_map_observations(
         filled = idx < R
         idx = jnp.where(filled, idx, 0)
         sel, _, _ = _gather_road_features(
-            _packed_road_columns(roads), idx, ego_pos, ego_yaw, w_idx
+            _packed_road_columns(roads), idx, ego_pos, ego_yaw, w_idx,
+            method=params.road_gather,
         )
         # Linear filler: MapObservation::zero() has id=-1, mapType=-1.
         filler = jnp.zeros(9, jnp.float32).at[7].set(-1.0).at[8].set(-1.0)

@@ -87,6 +87,11 @@ class Params:
     # high-recall approximate top-K is semantically equivalent; exact top_k is
     # kept for parity tests.
     approx_top_k: bool = False
+    # TPU-specific: how to fetch the K winning road rows after selection.
+    # "take" = flat row gather; "dot" = one-hot MXU matmul (exact in
+    # f32/HIGHEST — each output is 1.0*value; TPU element gathers retire
+    # ~2 elem/cycle while the matmul rides the systolic array).
+    road_gather: str = "take"
     # TPU-specific: prune agent-road narrow phase to this many candidate
     # segments per agent (ranked conservatively; see core/collision.py).
     # None = exact all-pairs, matching the reference broadphase semantics.

@@ -123,6 +123,9 @@ class EnvConfig:
     # use_collision_grid -> scene-static spatial hash (wins at large R).
     collision_top_k: Optional[int] = None
     approx_top_k: bool = False
+    # "take" = flat row gather of the K road winners; "dot" = one-hot MXU
+    # matmul gather (exact; see core/observations._dot_gather_rows)
+    road_gather: str = "take"
     use_collision_grid: bool = False
     # None = auto: tile-skip Pallas narrow phase when the road bucket is
     # large (scene/rtiles.py); True forces it, False disables.
@@ -171,6 +174,7 @@ class EnvConfig:
             read_from_tracks_to_predict=read_tracks,
             polyline_reduction_threshold=self.polyline_reduction_threshold,
             approx_top_k=self.approx_top_k,
+            road_gather=self.road_gather,
             collision_top_k=self.collision_top_k,
             use_collision_grid=self.use_collision_grid,
             use_tile_collision=self.use_tile_collision,

@@ -279,3 +279,34 @@ def test_flat_ego_layout_linear_road_obs(scene_state):
         obs.agent_map_observations(scene, state, params, (w_idx, a_idx))
     )
     np.testing.assert_array_equal(mo_w, mo_f)
+
+
+@pytest.mark.parametrize("algo", [RoadObsAlgorithm.KNEAREST,
+                                  RoadObsAlgorithm.LINEAR])
+@pytest.mark.parametrize("layout", ["world", "flat"])
+def test_dot_gather_matches_take_gather(scene_state, algo, layout):
+    """road_gather='dot' (one-hot MXU matmul) returns bitwise-identical
+    observations to the production row gather in every layout x algorithm
+    combination — exactness justified in observations._dot_gather_rows
+    (1.0 * value sums with exactly one nonzero term)."""
+    import dataclasses
+
+    scene, state = scene_state
+    W, A = np.asarray(scene.agents.valid).shape
+    if layout == "world":
+        ego_idx = None
+    else:
+        Cc = 5
+        ego_idx = (
+            jnp.repeat(jnp.arange(W), Cc),
+            jnp.tile(jnp.arange(Cc), W),
+        )
+    p_take = dataclasses.replace(PARAMS, road_obs_algorithm=algo)
+    p_dot = dataclasses.replace(p_take, road_gather="dot")
+    mo_take = np.asarray(
+        obs.agent_map_observations(scene, state, p_take, ego_idx)
+    )
+    mo_dot = np.asarray(
+        obs.agent_map_observations(scene, state, p_dot, ego_idx)
+    )
+    np.testing.assert_array_equal(mo_take, mo_dot)
