@@ -64,6 +64,7 @@ def bench_train(args):
         goal_achieved_weight=1.0,
         dynamics_model="classic", collision_behavior="ignore",
         init_steps=args.init_steps,
+        road_gather=args.road_gather,
         use_tile_collision={"auto": None, "on": True, "off": False}[args.tiles],
         agent_bucket=(
             int(args.agent_bucket)
@@ -194,6 +195,9 @@ def main():
                    help="timing repetitions; best is reported")
     p.add_argument("--grid", action="store_true",
                    help="use the spatial-hash collision path")
+    p.add_argument("--road-gather", choices=["take", "dot"], default="take",
+                   help="K-winner road-row fetch: flat row gather or "
+                        "one-hot MXU matmul (exact either way)")
     p.add_argument("--road-obs", choices=["knn", "linear"], default="knn",
                    help="road-observation algorithm for the benched obs "
                         "path: KNN top-K (the headline config) or the "
@@ -307,6 +311,7 @@ def main():
         collision_behavior="ignore",
         road_obs_algorithm="k_nearest_roadpoints"
         if args.road_obs == "knn" else "linear",
+        road_gather=args.road_gather,
         collision_top_k=args.collision_top_k,
         approx_top_k=not args.exact,
         use_collision_grid=args.grid,

@@ -357,6 +357,9 @@ def main():
     p.add_argument("--agent-bucket", default=None,
                    help="'auto' (or an int) buckets the sim's agent axis "
                         "to the scene batch max instead of 128 rows")
+    p.add_argument("--road-gather", choices=["take", "dot"], default="take",
+                   help="K-winner road-row fetch: flat row gather or "
+                        "one-hot MXU matmul (exact either way)")
     p.add_argument("--max-roads", type=int, default=None,
                    help="pin the road-axis bucket (rounded up to 256) so "
                         "mixed-size scene batches stay shape-stable across "
@@ -435,6 +438,7 @@ def main():
         dynamics_model="classic",
         collision_behavior="ignore",
         init_steps=args.init_steps,
+        road_gather=args.road_gather,
         agent_bucket=(
             int(args.agent_bucket)
             if args.agent_bucket and args.agent_bucket != "auto"
