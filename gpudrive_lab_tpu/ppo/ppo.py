@@ -544,7 +544,12 @@ def make_ppo_funcs(
         # following rollout's action noise).
         rng_epochs, rng_next = jax.random.split(carry.rng)
         rngs = jax.random.split(rng_epochs, config.update_epochs)
-        if config.unroll:
+        if config.update_epochs == 0:
+            # rollout-only decomposition mode (bench --update-epochs 0):
+            # skip the optimizer entirely, report zeroed loss metrics
+            auxes = {k: jnp.zeros((1,), jnp.float32)
+                     for k in ("pg_loss", "v_loss", "entropy", "approx_kl")}
+        elif config.unroll:
             auxes = []
             for e in range(config.update_epochs):
                 (variables, opt_state), aux = epoch_body(
