@@ -51,6 +51,7 @@ EOF
     ${DATA_DIR:+--data-dir "$DATA_DIR"} \
     ${AGENT_BUCKET:+--agent-bucket "$AGENT_BUCKET"} \
     ${MAX_ROADS:+--max-roads "$MAX_ROADS"} \
+    ${ROAD_GATHER:+--road-gather "$ROAD_GATHER"} \
     --resample-interval "${RESAMPLE_INTERVAL:-0}" \
     --checkpoint-interval 25 \
     --total-timesteps "$TARGET" \
