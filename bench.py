@@ -65,6 +65,7 @@ def bench_train(args):
         dynamics_model="classic", collision_behavior="ignore",
         init_steps=args.init_steps,
         road_gather=args.road_gather,
+        approx_top_k=args.train_approx_top_k,
         use_tile_collision={"auto": None, "on": True, "off": False}[args.tiles],
         agent_bucket=(
             int(args.agent_bucket)
@@ -195,6 +196,10 @@ def main():
                    help="timing repetitions; best is reported")
     p.add_argument("--grid", action="store_true",
                    help="use the spatial-hash collision path")
+    p.add_argument("--train-approx-top-k", action="store_true",
+                   help="train mode: approx_max_k road selection (recall "
+                        "0.99; the obs is consumed as a set, exact kept "
+                        "for parity tests)")
     p.add_argument("--road-gather", choices=["take", "dot"], default="take",
                    help="K-winner road-row fetch: flat row gather or "
                         "one-hot MXU matmul (exact either way)")
