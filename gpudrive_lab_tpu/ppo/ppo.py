@@ -381,7 +381,13 @@ def make_ppo_funcs(
             )(mb["obs_state"])
             obs = obs.reshape((-1, obs.shape[-1]))
         else:
-            obs = mb["obs"].astype(jnp.float32)
+            obs = mb["obs"]
+            if config.policy_dtype == "float32":
+                obs = obs.astype(jnp.float32)
+            # else: leave the bf16 store as-is — flax Dense(dtype=bf16)
+            # casts at the GEMM boundary anyway, so upcasting here only
+            # materializes a 2x-wide copy of every minibatch (bf16 ->
+            # f32 -> bf16 round-trips to the identical bf16 values)
         _, newlogp, entropy, newvalue = policy_forward(
             variables, obs, rng, action=mb["action"]
         )
