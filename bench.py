@@ -87,6 +87,7 @@ def bench_train(args):
         policy_dtype="bfloat16" if args.policy_dtype == "bf16"
         else "float32",
         minibatch_rows=args.minibatch_rows,
+        epoch_preshuffle=args.epoch_preshuffle,
     )
     policy, variables, opt_state, carry, fresh, train_fn = build_trainer(
         env, ppo_cfg, seed=0, rollout_mode=args.rollout_mode,
@@ -230,6 +231,9 @@ def main():
     p.add_argument("--rollout-len", type=int, default=32)
     p.add_argument("--train-iters", type=int, default=8,
                    help="train steps per timing repetition (--train)")
+    p.add_argument("--epoch-preshuffle", action="store_true",
+                   help="per-epoch time-axis shuffle + contiguous minibatch "
+                        "slices (exact; kills the per-minibatch obs gather)")
     p.add_argument("--minibatch-rows", type=int, default=0,
                    help="flat mode: also slice minibatches to this many "
                         "rows of the flat agent axis (0 = time-only)")

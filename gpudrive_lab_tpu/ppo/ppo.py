@@ -111,6 +111,14 @@ class PPOConfig:
     # G = N // minibatch_rows, and num_minibatches // G must divide
     # rollout_len.  0 = whole-row minibatches (time slicing only).
     minibatch_rows: int = 0
+    # Shuffle the batch's time axis ONCE per epoch (one-hot matmul for the
+    # obs store — exact: every output element is a single 1.0*value term)
+    # and cut minibatches as CONTIGUOUS slices of the shuffled batch.
+    # Sample composition, visit order, and per-minibatch rng are identical
+    # to the per-minibatch jnp.take path — but the take was an
+    # element-rate-limited TPU gather repeated M x epochs times over the
+    # obs store, measured at ~60% of the whole train iteration (round 4).
+    epoch_preshuffle: bool = False
 
 
 class Transition(NamedTuple):
@@ -483,22 +491,57 @@ def make_ppo_funcs(
 
             if use_rows:
                 rng_t, rng_p = jax.random.split(rng_e)
-                perm = jax.random.permutation(rng_t, T).reshape(M_t, T // M_t)
+                perm_flat = jax.random.permutation(rng_t, T)
+                perm = perm_flat.reshape(M_t, T // M_t)
                 # visit the (time-group, row-block) grid in random order
                 pairs = jax.random.permutation(rng_p, M)
                 t_indices = perm[pairs // G]        # [M, Tm]
                 row_starts = (pairs % G) * rows     # [M]
                 pids = pairs                        # unique per minibatch
+                Tm = T // M_t
+                t_starts = (pairs // G) * Tm        # [M] into the shuffled T
             else:
-                perm = jax.random.permutation(rng_e, T)
-                t_indices = perm.reshape(M, T // M)
+                perm_flat = jax.random.permutation(rng_e, T)
+                t_indices = perm_flat.reshape(M, T // M)
                 row_starts = jnp.zeros((M,), jnp.int32)
                 pids = t_indices[:, 0]
+                Tm = T // M
+                # shuffled batch is visited in order: slice m starts at m*Tm
+                t_starts = jnp.arange(M, dtype=jnp.int32) * Tm
+
+            if config.epoch_preshuffle:
+                # One time-axis shuffle per epoch; minibatches then cut
+                # contiguous [Tm(, rows)] tiles.  Identical sample grouping,
+                # order and rng stream as the take path (t_indices[m] ==
+                # shuffled[t_starts[m] : +Tm] by construction).
+                P = jax.nn.one_hot(perm_flat, T, dtype=jnp.float32)
+
+                def shuffle(x):
+                    if x.ndim >= 2 and x.size >= (1 << 20):
+                        y = jax.lax.dot_general(
+                            P.astype(x.dtype),
+                            x.reshape(T, -1),
+                            (((1,), (0,)), ((), ())),
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32,
+                        )
+                        return y.astype(x.dtype).reshape(x.shape)
+                    return jnp.take(x, perm_flat, axis=0)
+
+                sbatch = {k: shuffle(v) for k, v in batch.items()}
 
             def mb_body(carry_mb, xs):
-                mb_idx, rstart, pid = xs
+                mb_idx, rstart, pid, tstart = xs
                 variables, opt_state = carry_mb
-                if use_rows:
+                if config.epoch_preshuffle:
+                    def take(x):
+                        xt = jax.lax.dynamic_slice_in_dim(x, tstart, Tm, 0)
+                        if use_rows:
+                            xt = jax.lax.dynamic_slice_in_dim(
+                                xt, rstart, rows, axis=1
+                            )
+                        return xt.reshape((-1,) + x.shape[batch_lead:])
+                elif use_rows:
                     def take(x):
                         xt = jnp.take(x, mb_idx, axis=0)
                         xr = jax.lax.dynamic_slice_in_dim(
@@ -509,7 +552,8 @@ def make_ppo_funcs(
                     take = lambda x: jnp.take(x, mb_idx, axis=0).reshape(
                         (-1,) + x.shape[batch_lead:]
                     )
-                mb = {k: take(v) for k, v in batch.items()}
+                src = sbatch if config.epoch_preshuffle else batch
+                mb = {k: take(v) for k, v in src.items()}
                 if use_rows:
                     mb["row_start"] = rstart
                 if config.remat_obs:
@@ -534,14 +578,14 @@ def make_ppo_funcs(
                 for m in range(M):
                     (variables, opt_state), aux = mb_body(
                         (variables, opt_state),
-                        (t_indices[m], row_starts[m], pids[m]),
+                        (t_indices[m], row_starts[m], pids[m], t_starts[m]),
                     )
                     auxes.append(aux)
                 auxes = jax.tree.map(lambda *xs: jnp.stack(xs), *auxes)
             else:
                 (variables, opt_state), auxes = jax.lax.scan(
                     mb_body, (variables, opt_state),
-                    (t_indices, row_starts, pids),
+                    (t_indices, row_starts, pids, t_starts),
                 )
             return (variables, opt_state), auxes
 

@@ -377,6 +377,11 @@ def main():
                         "toward --ent-coef above 2x the floor; 0 disables "
                         "(fixes the collapse seen in short runs)")
     p.add_argument("--num-minibatches", type=int, default=4)
+    p.add_argument("--epoch-preshuffle", action="store_true",
+                   help="shuffle the batch time axis once per epoch (exact "
+                        "one-hot matmul) and cut contiguous minibatch "
+                        "slices — removes the per-minibatch obs-store "
+                        "gather that dominates the update phase on TPU")
     p.add_argument("--minibatch-rows", type=int, default=0,
                    help="flat mode: also slice minibatches to this many "
                         "rows of the flat agent axis (0 = time-only); "
@@ -458,7 +463,8 @@ def main():
                         if args.obs_store == "bf16" else "float32",
                         policy_dtype="bfloat16"
                         if args.policy_dtype == "bf16" else "float32",
-                        minibatch_rows=args.minibatch_rows)
+                        minibatch_rows=args.minibatch_rows,
+                        epoch_preshuffle=args.epoch_preshuffle)
     policy, variables, opt_state, carry, fresh, train_fn = build_trainer(
         env, ppo_cfg, seed=args.seed, rollout_mode=args.rollout_mode,
         iters_per_dispatch=args.iters_per_dispatch,

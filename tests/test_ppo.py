@@ -477,3 +477,50 @@ def test_minibatch_rows_requires_flat_mode():
             None, None, None, None, "weighted_combination",
             PPOConfig(compact=4, compact_mode="world", minibatch_rows=2),
         )
+
+
+def test_epoch_preshuffle_matches_take_path(trainer):
+    """epoch_preshuffle cuts minibatches as contiguous slices of a
+    once-per-epoch time shuffle; the sample grouping, visit order, and rng
+    stream are constructed to be IDENTICAL to the per-minibatch take path
+    (t_indices[m] == shuffled[t_starts[m]:+Tm] by definition), and the
+    one-hot-matmul shuffle copies values exactly — so metrics and updated
+    parameters must match to fp-reduction tolerance in every layout."""
+    env, _ = trainer
+    n_ctrl = int(np.asarray(env.scene.agents.controlled).sum())
+    cap = ((n_ctrl + 1) // 2) * 2
+    layouts = {
+        "time_only": dict(num_minibatches=2, compact=cap,
+                          compact_mode="flat"),
+        "rows": dict(num_minibatches=4, minibatch_rows=cap // 2,
+                     compact=cap, compact_mode="flat"),
+        "world": dict(num_minibatches=2),
+        "bf16": dict(num_minibatches=2, compact=cap, compact_mode="flat",
+                     obs_store_dtype="bfloat16", policy_dtype="bfloat16"),
+    }
+    for name, kw in layouts.items():
+        outs = {}
+        for pre in (False, True):
+            _, variables, opt_state, carry, fresh, train_fn = build_trainer(
+                env,
+                PPOConfig(rollout_len=8, update_epochs=2,
+                          epoch_preshuffle=pre, **kw),
+                seed=11,
+            )
+            variables, opt_state, carry, metrics = train_fn(
+                env.scene, variables, opt_state, carry, fresh,
+                env.reward_weights,
+            )
+            outs[pre] = (
+                jax.tree.map(np.asarray, variables),
+                {k: float(np.asarray(v)) for k, v in metrics.items()},
+            )
+        for k, v in outs[True][1].items():
+            assert np.isclose(v, outs[False][1][k], rtol=2e-4, atol=1e-6), (
+                name, k, v, outs[False][1][k]
+            )
+        deltas = jax.tree.map(
+            lambda a, b: float(np.max(np.abs(a - b))),
+            outs[True][0], outs[False][0],
+        )
+        assert max(jax.tree.leaves(deltas)) < 2e-5, (name, deltas)
