@@ -52,6 +52,7 @@ EOF
     ${AGENT_BUCKET:+--agent-bucket "$AGENT_BUCKET"} \
     ${MAX_ROADS:+--max-roads "$MAX_ROADS"} \
     ${ROAD_GATHER:+--road-gather "$ROAD_GATHER"} \
+    ${EPOCH_PRESHUFFLE:+--epoch-preshuffle} \
     --resample-interval "${RESAMPLE_INTERVAL:-0}" \
     --checkpoint-interval 25 \
     --total-timesteps "$TARGET" \

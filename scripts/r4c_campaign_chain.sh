@@ -34,7 +34,8 @@ ln -sf /root/reference/data/processed/examples/*.json data/campaign/
 run resample_campaign 7200 env \
     DATA_DIR=data/campaign NUM_WORLDS=64 COMPACT=2048 COMPACT_MODE=flat \
     POLICY_DTYPE=bf16 PACKED_IO=1 AGENT_BUCKET=64 MAX_ROADS=1280 \
-    ROAD_GATHER=dot RESAMPLE_INTERVAL=1000000 CHUNK_TIMEOUT=6600 \
+    ROAD_GATHER=dot EPOCH_PRESHUFFLE=1 \
+    RESAMPLE_INTERVAL=1000000 CHUNK_TIMEOUT=6600 \
     bash scripts/ppo_campaign.sh 50000000 runs/campaign_resample
 
 run campaign_eval_pool 3600 python scripts/eval_checkpoint.py \
