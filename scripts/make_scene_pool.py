@@ -63,15 +63,63 @@ def make_scene(seed: int) -> dict:
         gaps = rng.uniform(12.0, 28.0, n_cars)
         starts = 0.05 * length + np.cumsum(gaps) - gaps[0]
         starts = starts[starts < 0.5 * length]
-        goal_off = float(np.clip(1.02 - speed * DT, 0.25, 0.95))
+        # Goal offset calibrated to the trainer's dist_to_goal_threshold
+        # (2.0, EnvConfig default): distance at the cutoff step is
+        # goal_off <= 2.0 (reached) and one step earlier goal_off +
+        # speed*dt > 2.0 (not yet) — the expert goes done EXACTLY at its
+        # cutoff, and the padding teleport happens on the first INVALID
+        # log step, which collision detection ignores for uncontrolled
+        # agents (src/sim.cpp:632-646).  An early-reaching expert would
+        # spend valid steps at the shared padding position and
+        # phantom-collide there (parity behavior, measured).
+        # 0.3 margin over the threshold: the one-step-early distance is
+        # goal_off + speed*dt minus small chord/heading/f32 effects
+        # (measured up to ~0.03) — a 0.02 margin produced done one step
+        # before the cutoff and phantom padding collisions
+        goal_off = float(np.clip(2.3 - speed * DT, 0.3, 1.9))
+        # Per-agent track cutoffs (the log ends partway through the episode,
+        # like real WOMD tracks that leave the scene or stop being observed):
+        # goal distances then span ~5-130 m instead of always a full
+        # constant-speed episode away — without nearby goals the sparse
+        # goal reward gives a fresh policy no gradient and training
+        # collapses to "drive safe, reach nothing" (measured round 4:
+        # 38M steps on the all-far-goal pool v1 peaked at 0.8% goal).
+        # Invalid log steps after the cutoff keep expert replay collision-
+        # free BY PARITY: the reference ignores uncontrolled agents at
+        # invalid steps in collision detection (src/sim.cpp:632-646), so a
+        # goal-done expert teleported to the shared padding position stops
+        # colliding there (validated: goal-done VALID experts at padding DO
+        # phantom-collide, in our sim and the reference alike).  Cutoffs
+        # sort ASCENDING rear-to-front within a lane so in-lane gaps never
+        # shrink below the initial >= 12 m while tracks are live; ~30% of
+        # agents keep the full horizon.
+        # cap at T-2: an agent done at its cutoff is teleported to padding
+        # on the NEXT step, which must be an invalid log step even for the
+        # "full-horizon" group (done at T-1 would teleport on the final
+        # step with a still-valid log and phantom-collide — measured: 6/64
+        # scenes with ts=T-1)
+        ts_all = np.where(
+            rng.random(len(starts)) < 0.3,
+            T - 2,
+            rng.integers(20, 86, len(starts)),
+        )
+        ts_all = np.sort(ts_all)  # rear (small s0) ends first
         for j in range(len(starts)):
             if total_agents >= max_agents:
                 break
             s0 = starts[j]
-            s = s0 + dirsign * speed * DT * np.arange(T)
+            t_stop = int(ts_all[j])
+            steps = np.minimum(np.arange(T), t_stop)
+            s = s0 + dirsign * speed * DT * steps
             xs, ys, hs = arc_at(cx, cy, heading, curvature, s, off)
-            vxs = speed * np.cos(hs)
-            vys = speed * np.sin(hs)
+            live = np.arange(T) <= t_stop
+            # WOMD convention: ERR_VAL positions where the track is invalid
+            # (SURVEY.md Appendix A; process_waymo_files.py:39)
+            xs = np.where(live, xs, -1e4)
+            ys = np.where(live, ys, -1e4)
+            moving = np.arange(T) < t_stop
+            vxs = np.where(moving, speed * np.cos(hs), 0.0)
+            vys = np.where(moving, speed * np.sin(hs), 0.0)
             objects.append(
                 {
                     "position": [
@@ -86,7 +134,7 @@ def make_scene(seed: int) -> dict:
                         {"x": float(vx), "y": float(vy)}
                         for vx, vy in zip(vxs, vys)
                     ],
-                    "valid": [True] * T,
+                    "valid": [bool(v) for v in live],
                     # goal just beyond the final logged position, offset
                     # tuned per speed so the 1 m goal radius is FIRST
                     # entered at the final step (offset + speed*dt > 1 and
@@ -95,8 +143,8 @@ def make_scene(seed: int) -> dict:
                     # simultaneous finishers phantom-collide (parity
                     # behavior, src/sim.cpp:333-343 + 631-666)
                     "goalPosition": {
-                        "x": float(xs[-1] + goal_off * math.cos(hs[-1])),
-                        "y": float(ys[-1] + goal_off * math.sin(hs[-1])),
+                        "x": float(xs[t_stop] + goal_off * math.cos(hs[t_stop])),
+                        "y": float(ys[t_stop] + goal_off * math.sin(hs[t_stop])),
                         "z": 0.0,
                     },
                     "type": "vehicle",
