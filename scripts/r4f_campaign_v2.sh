@@ -31,4 +31,13 @@ run campaign2_eval_real 3600 python scripts/eval_checkpoint.py \
     --scenes-dir /root/reference/data/processed/examples \
     --num-worlds 8 --episodes 2
 
+# IL scaling on the v2 pool.  Dispatch-aware sizing: each train batch is
+# one remote dispatch (~0.5-1 s on the tunnel), so 4096-sample batches
+# (~92 dispatches/epoch over ~380K samples) keep 8 epochs inside ~15 min
+# where the original 512-batch 40-epoch config would have run for hours.
+run il_pool_scaling 7200 python -m gpudrive_lab_tpu.il.train \
+    --data-dir data/pool --num-worlds 32 --num-batches 8 --epochs 8 \
+    --batch-size 4096 --lr 1e-3 --agent-bucket 32 --eval-heldout \
+    --out runs/bc_pool.pkl
+
 echo "R4FCHAIN_DONE $(date)" | tee -a "$LOG/r4fchain.log"
