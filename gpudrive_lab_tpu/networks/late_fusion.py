@@ -64,17 +64,22 @@ class LateFusionPolicy(nn.Module):
     @nn.compact
     def __call__(self, obs_flat: jnp.ndarray):
         """obs_flat: [..., obs_dim] -> (logits [..., action_dim],
-        value [...])."""
+        value [...]).  Also accepts a pre-split (ego, partner, road)
+        tuple — same modules in the same order, so parameters are
+        interchangeable with the flat form (skips the unpack slicing)."""
         cfg = self.config
-        e = cfg.ego_feat_dim
-        p = (cfg.max_agents - 1) * C.PARTNER_FEAT_DIM
-        ego = obs_flat[..., :e]
-        partner = obs_flat[..., e : e + p].reshape(
-            obs_flat.shape[:-1] + (cfg.max_agents - 1, C.PARTNER_FEAT_DIM)
-        )
-        road = obs_flat[..., e + p :].reshape(
-            obs_flat.shape[:-1] + (cfg.top_k_roads, C.ROAD_GRAPH_FEAT_DIM)
-        )
+        if isinstance(obs_flat, tuple):
+            ego, partner, road = obs_flat
+        else:
+            e = cfg.ego_feat_dim
+            p = (cfg.max_agents - 1) * C.PARTNER_FEAT_DIM
+            ego = obs_flat[..., :e]
+            partner = obs_flat[..., e : e + p].reshape(
+                obs_flat.shape[:-1] + (cfg.max_agents - 1, C.PARTNER_FEAT_DIM)
+            )
+            road = obs_flat[..., e + p :].reshape(
+                obs_flat.shape[:-1] + (cfg.top_k_roads, C.ROAD_GRAPH_FEAT_DIM)
+            )
 
         ego_embed = _Embed(cfg.input_dim, cfg.act_func, cfg.dtype)(ego)
         partner_embed = _Embed(cfg.input_dim, cfg.act_func, cfg.dtype)(

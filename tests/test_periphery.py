@@ -199,3 +199,32 @@ def test_render_training_videos(example_scene_paths, tmp_path):
     import os
 
     assert os.path.getsize(paths[0]) > 0
+
+
+def test_policy_accepts_presplit_obs():
+    """LateFusionPolicy((ego, partner, road)) must equal the flat form
+    bitwise — same modules in the same order, so parameters are shared."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gpudrive_lab_tpu.networks.late_fusion import (
+        LateFusionPolicy,
+        PolicyConfig,
+    )
+
+    cfg = PolicyConfig(action_dim=7)
+    policy = LateFusionPolicy(cfg)
+    obs = jax.random.normal(jax.random.PRNGKey(0), (5, cfg.obs_dim))
+    variables = policy.init(jax.random.PRNGKey(1), obs)
+    e = cfg.ego_feat_dim
+    p = (cfg.max_agents - 1) * 6
+    parts = (
+        obs[..., :e],
+        obs[..., e:e + p].reshape(5, cfg.max_agents - 1, 6),
+        obs[..., e + p:].reshape(5, cfg.top_k_roads, 13),
+    )
+    lo_f, v_f = policy.apply(variables, obs)
+    lo_t, v_t = policy.apply(variables, parts)
+    np.testing.assert_array_equal(np.asarray(lo_f), np.asarray(lo_t))
+    np.testing.assert_array_equal(np.asarray(v_f), np.asarray(v_t))
