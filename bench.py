@@ -80,8 +80,9 @@ def bench_train(args):
         num_minibatches=args.num_minibatches,
         update_epochs=args.update_epochs,
         remat_obs=args.obs_store == "remat",
-        obs_store_dtype="bfloat16" if args.obs_store == "bf16"
+        obs_store_dtype="bfloat16" if args.obs_store.endswith("bf16")
         else "float32",
+        obs_store="split" if args.obs_store.startswith("split") else "flat",
         compact=args.compact,
         compact_mode=args.compact_mode,
         policy_dtype="bfloat16" if args.policy_dtype == "bf16"
@@ -253,7 +254,9 @@ def main():
                         "--compact rows holding exactly the batch's "
                         "controlled agents (the fast layout for imbalanced "
                         "worlds); 'world' pads every world to --compact")
-    p.add_argument("--obs-store", choices=["remat", "f32", "bf16"],
+    p.add_argument("--obs-store",
+                   choices=["remat", "f32", "bf16", "split-f32",
+                            "split-bf16"],
                    default="remat",
                    help="rollout obs handling (--train): rematerialize from "
                         "SimStates in the update, or store f32/bf16 obs "

@@ -61,7 +61,7 @@ def _minmax(x, lo, hi):
     return 2.0 * ((x - lo) / (hi - lo)) - 1.0
 
 
-@functools.partial(jax.jit, static_argnames=("params", "spec"))
+@functools.partial(jax.jit, static_argnames=("params", "spec", "split"))
 def flat_observation(
     scene: Scene,
     state: SimState,
@@ -69,6 +69,7 @@ def flat_observation(
     spec: ObsSpec,
     reward_weights: jnp.ndarray,
     ego_idx: Optional[jnp.ndarray] = None,
+    split: bool = False,
 ):
     """Flattened per-agent policy observation + masks.
 
@@ -84,7 +85,16 @@ def flat_observation(
     (w_idx [N], a_idx [N]) tuple: obs/masks come back [N, ...] with the ego
     axis holding exactly the selected (world, agent) pairs — cross-world
     compaction for batches whose per-world controlled counts are imbalanced.
+
+    ``split=True`` returns the obs as the PRE-SPLIT modality tuple
+    (ego [.., E], partner [.., 127, 6], road [.., 200, 13]) instead of one
+    concatenated [.., 3368] vector — the exact operands
+    ``LateFusionPolicy.__call__`` unpacks the flat form into, minus the
+    slice/reshape relayouts.  Requires all three classic modalities on.
     """
+    if split and not (spec.ego_state and spec.partner_obs
+                      and spec.road_map_obs):
+        raise ValueError("split obs requires ego/partner/road all enabled")
     parts = []
     partner_mask = None
     road_mask = None
@@ -156,7 +166,7 @@ def flat_observation(
             p_len = p_len / C.MAX_VEH_LEN
             p_wid = p_wid / C.MAX_VEH_WIDTH
         pobs = jnp.stack([p_speed, p_x, p_y, p_head, p_len, p_wid], axis=-1)
-        parts.append(pobs.reshape(pobs.shape[:-2] + (-1,)))
+        parts.append(pobs if split else pobs.reshape(pobs.shape[:-2] + (-1,)))
 
     if spec.road_map_obs:
         mo = obsmod.agent_map_observations(scene, state, params, ego_idx)
@@ -176,10 +186,12 @@ def flat_observation(
             [jnp.stack([x, y, d0, d1, d2, heading], axis=-1), one_hot],
             axis=-1,
         )
-        parts.append(robs.reshape(robs.shape[:-2] + (-1,)))
+        parts.append(robs if split else robs.reshape(robs.shape[:-2] + (-1,)))
         road_mask = mo[..., 7] == -1  # road_mask (env_torch.py:1258-1272)
 
-    if parts:
+    if split:
+        obs = tuple(parts)
+    elif parts:
         obs = jnp.concatenate(parts, axis=-1)
     elif isinstance(ego_idx, tuple):  # lidar-only, flat ego axis
         obs = jnp.zeros((ego_idx[0].shape[0], 0), jnp.float32)

@@ -72,6 +72,15 @@ class PPOConfig:
     # update's epochs-many obs recomputes entirely.
     remat_obs: bool = True
     obs_store_dtype: str = "float32"  # "bfloat16" halves rollout obs HBM
+    # Obs-store layout (remat_obs=False only).  "flat" stores the single
+    # concatenated [T, N, 3368] vector; "split" stores the three modality
+    # buffers (ego [T, N, E] / partner [T, N, 127, 6] / road [T, N, 200, 13])
+    # and feeds LateFusionPolicy's pre-split apply path — minibatch slices
+    # then skip the flat-3368 unpack (misaligned slice + two reshape
+    # relayouts) that probe_epoch_anatomy bisected inside each update
+    # minibatch.  Bitwise-identical to "flat" (concat-then-slice is the
+    # identity on each modality block).
+    obs_store: str = "flat"  # "flat" | "split"
     # Learner compaction: restrict the obs/policy/GAE path to the first
     # `compact` controlled slots per world (0 = dense over all A=128 padded
     # slots).  compact_mode="flat" instead uses ONE flat cross-world agent
@@ -119,6 +128,12 @@ class PPOConfig:
     # element-rate-limited TPU gather repeated M x epochs times over the
     # obs store, measured at ~60% of the whole train iteration (round 4).
     epoch_preshuffle: bool = False
+
+
+# Leaves at least this large route the epoch-preshuffle through the one-hot
+# dot_general instead of jnp.take (module-level so tests can lower it to
+# force the matmul branch on small fixtures).
+PRESHUFFLE_DOT_MIN_ELEMS = 1 << 20
 
 
 class Transition(NamedTuple):
@@ -208,6 +223,9 @@ def make_ppo_funcs(
     batch_lead = 2 if flat_mode else 3  # traj arrays: [T, N] vs [T, W, C]
     if config.minibatch_rows and not flat_mode:
         raise ValueError("minibatch_rows requires compact_mode='flat'")
+    split_store = (not config.remat_obs) and config.obs_store == "split"
+    if config.obs_store not in ("flat", "split"):
+        raise ValueError(f"unknown obs_store {config.obs_store!r}")
 
     def ctrl_slots(scene):
         """Controlled-first ego-axis selection, derived inside the jit.
@@ -244,7 +262,8 @@ def make_ppo_funcs(
         def body(carry: EnvCarry, _):
             rng, k_act = jax.random.split(carry.rng)
             obs, _, _ = flat_observation(
-                scene, carry.state, params, spec, reward_weights, cidx
+                scene, carry.state, params, spec, reward_weights, cidx,
+                split=split_store,
             )
             a, logp, _, value = policy_forward(variables, obs, k_act)
             mask = gather_c(controlled & (carry.state.done == 0))
@@ -296,7 +315,9 @@ def make_ppo_funcs(
             )
             t = Transition(
                 obs=None if config.remat_obs
-                else obs.astype(config.obs_store_dtype),
+                else jax.tree.map(
+                    lambda x: x.astype(config.obs_store_dtype), obs
+                ),
                 action=a, logprob=logp, value=value,
                 reward=gather_c(reward),
                 done=gather_c(done), mask=mask,
@@ -391,7 +412,7 @@ def make_ppo_funcs(
         else:
             obs = mb["obs"]
             if config.policy_dtype == "float32":
-                obs = obs.astype(jnp.float32)
+                obs = jax.tree.map(lambda x: x.astype(jnp.float32), obs)
             # else: leave the bf16 store as-is — flax Dense(dtype=bf16)
             # casts at the GEMM boundary anyway, so upcasting here only
             # materializes a 2x-wide copy of every minibatch (bf16 ->
@@ -517,7 +538,12 @@ def make_ppo_funcs(
                 P = jax.nn.one_hot(perm_flat, T, dtype=jnp.float32)
 
                 def shuffle(x):
-                    if x.ndim >= 2 and x.size >= (1 << 20):
+                    # dot_general branch: floating leaves only — f32
+                    # accumulation of a one-hot matmul is exact for floats
+                    # (each output is one 1.0*value term) but would silently
+                    # corrupt int values >= 2^24 routed through f32.
+                    if (x.ndim >= 2 and x.size >= PRESHUFFLE_DOT_MIN_ELEMS
+                            and jnp.issubdtype(x.dtype, jnp.floating)):
                         y = jax.lax.dot_general(
                             P.astype(x.dtype),
                             x.reshape(T, -1),
@@ -528,7 +554,9 @@ def make_ppo_funcs(
                         return y.astype(x.dtype).reshape(x.shape)
                     return jnp.take(x, perm_flat, axis=0)
 
-                sbatch = {k: shuffle(v) for k, v in batch.items()}
+                sbatch = {
+                    k: jax.tree.map(shuffle, v) for k, v in batch.items()
+                }
 
             def mb_body(carry_mb, xs):
                 mb_idx, rstart, pid, tstart = xs
@@ -553,7 +581,7 @@ def make_ppo_funcs(
                         (-1,) + x.shape[batch_lead:]
                     )
                 src = sbatch if config.epoch_preshuffle else batch
-                mb = {k: take(v) for k, v in src.items()}
+                mb = {k: jax.tree.map(take, v) for k, v in src.items()}
                 if use_rows:
                     mb["row_start"] = rstart
                 if config.remat_obs:
@@ -696,7 +724,7 @@ def make_ppo_funcs(
         take = lambda x: jnp.take(x, mb_idx, axis=0).reshape(
             (-1,) + x.shape[batch_lead:]
         )
-        mb = {k: take(v) for k, v in batch.items()}
+        mb = {k: jax.tree.map(take, v) for k, v in batch.items()}
         if config.remat_obs:
             mb["obs_state"] = jax.tree.map(
                 lambda x: jnp.take(x, mb_idx, axis=0), env_state

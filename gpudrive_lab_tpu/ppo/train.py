@@ -397,10 +397,14 @@ def main():
                    help="'flat' = one cross-world agent axis of --compact "
                         "rows (capacity: the batch's TOTAL controlled "
                         "count); the fast layout for imbalanced worlds")
-    p.add_argument("--obs-store", choices=["remat", "f32", "bf16"],
+    p.add_argument("--obs-store",
+                   choices=["remat", "f32", "bf16", "split-f32",
+                            "split-bf16"],
                    default="remat",
                    help="rollout obs handling: rematerialize from stored "
-                        "SimStates (min HBM), or store f32/bf16 obs")
+                        "SimStates (min HBM), store f32/bf16 obs, or store "
+                        "split per-modality buffers (split-*) feeding the "
+                        "policy's pre-split apply path")
     p.add_argument("--policy-dtype", choices=["f32", "bf16"], default="f32",
                    help="policy compute dtype: bf16 uses the MXU at full "
                         "rate (params/logits stay f32)")
@@ -460,7 +464,9 @@ def main():
                         compact_mode=args.compact_mode,
                         remat_obs=args.obs_store == "remat",
                         obs_store_dtype="bfloat16"
-                        if args.obs_store == "bf16" else "float32",
+                        if args.obs_store.endswith("bf16") else "float32",
+                        obs_store="split"
+                        if args.obs_store.startswith("split") else "flat",
                         policy_dtype="bfloat16"
                         if args.policy_dtype == "bf16" else "float32",
                         minibatch_rows=args.minibatch_rows,

@@ -524,3 +524,121 @@ def test_epoch_preshuffle_matches_take_path(trainer):
             outs[True][0], outs[False][0],
         )
         assert max(jax.tree.leaves(deltas)) < 2e-5, (name, deltas)
+
+
+def test_split_obs_store_matches_flat(trainer):
+    """obs_store='split' stores (ego, partner, road) per-modality buffers and
+    feeds LateFusionPolicy's pre-split apply path.  Concat-then-slice is the
+    identity on each modality block, so one train iteration must match the
+    flat [T, N, 3368] store to fp-reduction tolerance in every layout."""
+    env, _ = trainer
+    n_ctrl = int(np.asarray(env.scene.agents.controlled).sum())
+    cap = ((n_ctrl + 1) // 2) * 2
+    layouts = {
+        "flat_f32": dict(compact=cap, compact_mode="flat"),
+        "flat_bf16": dict(compact=cap, compact_mode="flat",
+                          obs_store_dtype="bfloat16",
+                          policy_dtype="bfloat16"),
+        "rows": dict(num_minibatches=4, minibatch_rows=cap // 2,
+                     compact=cap, compact_mode="flat"),
+        "dense": dict(),
+        "preshuffle": dict(compact=cap, compact_mode="flat",
+                           epoch_preshuffle=True,
+                           obs_store_dtype="bfloat16"),
+    }
+    for name, kw in layouts.items():
+        kw = {**dict(rollout_len=8, num_minibatches=2, update_epochs=2,
+                     remat_obs=False), **kw}
+        outs = {}
+        for store in ("flat", "split"):
+            _, variables, opt_state, carry, fresh, train_fn = build_trainer(
+                env, PPOConfig(obs_store=store, **kw), seed=13,
+            )
+            variables, opt_state, carry, metrics = train_fn(
+                env.scene, variables, opt_state, carry, fresh,
+                env.reward_weights,
+            )
+            outs[store] = (
+                jax.tree.map(np.asarray, variables),
+                {k: float(np.asarray(v)) for k, v in metrics.items()},
+            )
+        for k, v in outs["split"][1].items():
+            assert np.isclose(v, outs["flat"][1][k], rtol=2e-4, atol=1e-6), (
+                name, k, v, outs["flat"][1][k]
+            )
+        deltas = jax.tree.map(
+            lambda a, b: float(np.max(np.abs(a - b))),
+            outs["split"][0], outs["flat"][0],
+        )
+        assert max(jax.tree.leaves(deltas)) < 2e-5, (name, deltas)
+
+
+def test_split_obs_flat_observation_blocks(trainer):
+    """flat_observation(split=True) returns exactly the blocks the flat
+    vector concatenates (the policy-unpack identity), for both dense and
+    flat ego layouts."""
+    import jax.numpy as jnp
+
+    from gpudrive_lab_tpu.env.env_jax import flat_observation
+
+    env, _ = trainer
+    for ego_idx in (None, (jnp.asarray([0, 0, 1]), jnp.asarray([0, 2, 1]))):
+        flat, pm_f, rm_f = flat_observation(
+            env.scene, env.state, env.params, env.spec, env.reward_weights,
+            ego_idx)
+        ego, partner, road = flat_observation(
+            env.scene, env.state, env.params, env.spec, env.reward_weights,
+            ego_idx, split=True)[0]
+        E = ego.shape[-1]
+        P = partner.shape[-2] * partner.shape[-1]
+        np.testing.assert_array_equal(np.asarray(flat[..., :E]),
+                                      np.asarray(ego))
+        np.testing.assert_array_equal(
+            np.asarray(flat[..., E:E + P]),
+            np.asarray(partner).reshape(partner.shape[:-2] + (-1,)))
+        np.testing.assert_array_equal(
+            np.asarray(flat[..., E + P:]),
+            np.asarray(road).reshape(road.shape[:-2] + (-1,)))
+
+
+def test_preshuffle_dot_branch_exact(trainer, monkeypatch):
+    """Force the one-hot dot_general shuffle branch on the small test
+    fixture (by lowering the size threshold) and assert it still matches
+    the take path exactly — covering the production-sized code path that
+    the default threshold hides from CI (ADVICE r4).  Int/bool leaves must
+    route through jnp.take regardless."""
+    from gpudrive_lab_tpu.ppo import ppo as ppomod
+
+    env, _ = trainer
+    n_ctrl = int(np.asarray(env.scene.agents.controlled).sum())
+    cap = ((n_ctrl + 1) // 2) * 2
+    kw = dict(rollout_len=8, num_minibatches=2, update_epochs=2,
+              remat_obs=False, compact=cap, compact_mode="flat")
+    outs = {}
+    for name, (pre, thresh) in (
+        ("take", (False, None)),
+        ("dot_forced", (True, 1)),  # every float leaf takes the dot branch
+    ):
+        if thresh is not None:
+            monkeypatch.setattr(ppomod, "PRESHUFFLE_DOT_MIN_ELEMS", thresh)
+        _, variables, opt_state, carry, fresh, train_fn = build_trainer(
+            env, PPOConfig(epoch_preshuffle=pre, **kw), seed=17,
+        )
+        variables, opt_state, carry, metrics = train_fn(
+            env.scene, variables, opt_state, carry, fresh,
+            env.reward_weights,
+        )
+        outs[name] = (
+            jax.tree.map(np.asarray, variables),
+            {k: float(np.asarray(v)) for k, v in metrics.items()},
+        )
+        monkeypatch.undo()
+    for k, v in outs["dot_forced"][1].items():
+        assert np.isclose(v, outs["take"][1][k], rtol=2e-4, atol=1e-6), (
+            k, v, outs["take"][1][k]
+        )
+    deltas = jax.tree.map(
+        lambda a, b: float(np.max(np.abs(a - b))),
+        outs["dot_forced"][0], outs["take"][0],
+    )
+    assert max(jax.tree.leaves(deltas)) < 2e-5, deltas
