@@ -85,6 +85,7 @@ def bench_train(args):
         obs_store="split" if args.obs_store.startswith("split") else "flat",
         compact=args.compact,
         compact_mode=args.compact_mode,
+        compact_blocks=args.compact_blocks,
         policy_dtype="bfloat16" if args.policy_dtype == "bf16"
         else "float32",
         minibatch_rows=args.minibatch_rows,
@@ -254,6 +255,10 @@ def main():
                         "--compact rows holding exactly the batch's "
                         "controlled agents (the fast layout for imbalanced "
                         "worlds); 'world' pads every world to --compact")
+    p.add_argument("--compact-blocks", type=int, default=0,
+                   help="flat mode: block-local compaction over this "
+                        "many contiguous world groups (multi-chip: "
+                        "set to the mesh size; 0 = global)")
     p.add_argument("--obs-store",
                    choices=["remat", "f32", "bf16", "split-f32",
                             "split-bf16"],

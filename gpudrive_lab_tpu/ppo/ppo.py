@@ -98,6 +98,15 @@ class PPOConfig:
     # mesh (the dryrun does); "flat" is the single-chip fast path.
     compact: int = 0
     compact_mode: str = "world"  # "world" [W, C] | "flat" [N] ego axis
+    # Block-local flat compaction (the multi-chip flat fast path): partition
+    # the W worlds into `compact_blocks` contiguous groups and select
+    # compact//blocks controlled rows from each group's worlds only (each
+    # block pads with its own first uncontrolled slots).  Row i of the flat
+    # [N] axis then depends only on worlds in block i*blocks//N — with
+    # compact_blocks == mesh size and worlds sharded over the mesh, every
+    # flat gather stays device-local instead of becoming a cross-device
+    # all-gather.  0/1 = global single-chip selection (round-3 behavior).
+    compact_blocks: int = 0
     # Trace the rollout/GAE/update loops as STRAIGHT-LINE code (python loops
     # inside the jit) instead of lax.scan.  On the axon remote-TPU runtime,
     # While-loop programs execute ~200x slower than the identical unrolled
@@ -235,10 +244,24 @@ def make_ppo_funcs(
         controlled agents in (world, slot) order, padded with the first
         uncontrolled slots; padding rows are masked out of every loss."""
         if flat_mode:
-            ctrl = scene.agents.controlled.reshape(-1)
-            order = jnp.argsort(jnp.where(ctrl, 0, 1), stable=True)
-            order = order[: config.compact]
-            A = scene.agents.controlled.shape[1]
+            ctrl = scene.agents.controlled
+            W, A = ctrl.shape
+            B = max(config.compact_blocks, 1)
+            if B > 1:
+                assert W % B == 0, "compact_blocks must divide num_worlds"
+                assert config.compact % B == 0, (
+                    "compact_blocks must divide compact"
+                )
+                cb = ctrl.reshape(B, (W // B) * A)
+                o = jnp.argsort(jnp.where(cb, 0, 1), axis=1, stable=True)
+                o = o[:, : config.compact // B]
+                base = (jnp.arange(B, dtype=o.dtype)
+                        * ((W // B) * A))[:, None]
+                order = (o + base).reshape(-1)
+            else:
+                flat = ctrl.reshape(-1)
+                order = jnp.argsort(jnp.where(flat, 0, 1), stable=True)
+                order = order[: config.compact]
             return order // A, order % A
         order = jnp.argsort(
             jnp.where(scene.agents.controlled, 0, 1), axis=1, stable=True

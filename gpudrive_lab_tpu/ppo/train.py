@@ -185,7 +185,8 @@ class PackedTrainer:
 
 
 def check_compact_capacity(
-    env: GPUDriveTPUEnv, compact: int | None, compact_mode: str = "world"
+    env: GPUDriveTPUEnv, compact: int | None, compact_mode: str = "world",
+    compact_blocks: int = 0,
 ):
     """Every world's controlled-agent count must fit in the compact slots:
     overflow agents would silently drive with action_table[0] every step
@@ -197,7 +198,19 @@ def check_compact_capacity(
     if not compact:
         return
     if compact_mode == "flat":
-        total_ctrl = int(np.asarray(env.scene.agents.controlled).sum())
+        ctrl = np.asarray(env.scene.agents.controlled)
+        if compact_blocks and compact_blocks > 1:
+            # block-local selection: every world block must fit its share
+            per_block = ctrl.reshape(compact_blocks, -1).sum(axis=1)
+            cap = compact // compact_blocks
+            if int(per_block.max()) > cap:
+                raise ValueError(
+                    f"compact={compact} over {compact_blocks} blocks "
+                    f"(cap {cap}/block) would drop controlled agents "
+                    f"(block totals {per_block.tolist()})"
+                )
+            return
+        total_ctrl = int(ctrl.sum())
         if compact < total_ctrl:
             raise ValueError(
                 f"compact={compact} (flat) would drop controlled agents "
@@ -249,7 +262,8 @@ def build_trainer(env: GPUDriveTPUEnv, ppo_config: PPOConfig,
         ppo_config = _dc.replace(
             ppo_config, reset_time_step=env.config.init_steps
         )
-    check_compact_capacity(env, ppo_config.compact, ppo_config.compact_mode)
+    check_compact_capacity(env, ppo_config.compact, ppo_config.compact_mode,
+                           ppo_config.compact_blocks)
     policy_config = policy_config or PolicyConfig(
         action_dim=env.action_space_n,
         dtype=jnp.bfloat16
@@ -397,6 +411,10 @@ def main():
                    help="'flat' = one cross-world agent axis of --compact "
                         "rows (capacity: the batch's TOTAL controlled "
                         "count); the fast layout for imbalanced worlds")
+    p.add_argument("--compact-blocks", type=int, default=0,
+                   help="flat mode: block-local compaction over this "
+                        "many contiguous world groups (multi-chip: "
+                        "set to the mesh size; 0 = global)")
     p.add_argument("--obs-store",
                    choices=["remat", "f32", "bf16", "split-f32",
                             "split-bf16"],
@@ -462,6 +480,7 @@ def main():
                         learning_rate=args.lr,
                         compact=args.compact,
                         compact_mode=args.compact_mode,
+                        compact_blocks=args.compact_blocks,
                         remat_obs=args.obs_store == "remat",
                         obs_store_dtype="bfloat16"
                         if args.obs_store.endswith("bf16") else "float32",
@@ -523,7 +542,9 @@ def main():
             ):
                 with profile.phase("env"):
                     env.swap_data_batch()
-                    check_compact_capacity(env, ppo_cfg.compact, ppo_cfg.compact_mode)
+                    check_compact_capacity(env, ppo_cfg.compact,
+                                           ppo_cfg.compact_mode,
+                                           ppo_cfg.compact_blocks)
                     fresh = make_fresh(env)
                     carry = EnvCarry(
                         state=jax.tree.map(jnp.copy, fresh),

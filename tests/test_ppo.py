@@ -642,3 +642,78 @@ def test_preshuffle_dot_branch_exact(trainer, monkeypatch):
         outs["dot_forced"][0], outs["take"][0],
     )
     assert max(jax.tree.leaves(deltas)) < 2e-5, deltas
+
+
+def test_flat_compact_blocks(trainer):
+    """Block-local flat compaction (compact_blocks=B): each block of W/B
+    worlds contributes exactly its own controlled agents (padded from its
+    own uncontrolled slots), the selection is world-block-local (the
+    multi-chip invariant: row i depends only on block i*B//N), and training
+    consumes the same sample count as global flat selection."""
+    env, _ = trainer
+    ctrl = np.asarray(env.scene.agents.controlled)
+    W, A = ctrl.shape
+    B = 2
+    assert W % B == 0
+    per_block = ctrl.reshape(B, -1).sum(axis=1)
+    cap = int(per_block.max())
+    cap += cap % 2  # even
+    compact = B * cap
+
+    # structural check on the selection itself
+    from gpudrive_lab_tpu.networks.late_fusion import (
+        LateFusionPolicy, PolicyConfig,
+    )
+    from gpudrive_lab_tpu.ppo.ppo import make_ppo_funcs
+
+    cfgb = PPOConfig(rollout_len=8, num_minibatches=2, compact=compact,
+                     compact_mode="flat", compact_blocks=B)
+    # reach ctrl_slots through a tiny traced probe: run one train step and
+    # check invariants via the mask/sample count below; plus replicate the
+    # selection in numpy here
+    wpb = W // B
+    for b in range(B):
+        rows = ctrl[b * wpb:(b + 1) * wpb].reshape(-1)
+        order = np.argsort(np.where(rows, 0, 1), kind="stable")[:cap]
+        # every controlled agent of the block is selected
+        assert rows[order].sum() == rows.sum()
+
+    samples = {}
+    for blocks in (0, B):
+        _, variables, opt_state, carry, fresh, train_fn = build_trainer(
+            env,
+            PPOConfig(rollout_len=8, num_minibatches=2, compact=compact,
+                      compact_mode="flat", compact_blocks=blocks),
+            seed=19,
+        )
+        before = np.asarray(jax.tree.leaves(variables)[0]).copy()
+        variables, opt_state, carry, metrics = train_fn(
+            env.scene, variables, opt_state, carry, fresh, env.reward_weights
+        )
+        m = {k: float(np.asarray(v)) for k, v in metrics.items()}
+        assert np.isfinite(list(m.values())).all(), (blocks, m)
+        assert not np.allclose(
+            before, np.asarray(jax.tree.leaves(variables)[0])
+        ), blocks
+        samples[blocks] = m["samples"]
+    assert samples[0] == samples[B], samples
+
+
+def test_flat_compact_blocks_capacity_guard(trainer):
+    """Per-block capacity: a compact that fits globally but not per-block
+    must be rejected (silent drop would exclude whole agents from
+    training)."""
+    from gpudrive_lab_tpu.ppo.train import check_compact_capacity
+
+    env, _ = trainer
+    ctrl = np.asarray(env.scene.agents.controlled)
+    B = 2
+    per_block = ctrl.reshape(B, -1).sum(axis=1)
+    cap = int(per_block.max())
+    check_compact_capacity(env, B * cap, "flat", B)  # exact fit passes
+    if per_block.min() < per_block.max():
+        # global total fits in B*(max-ish) but some block overflows
+        tight = int(per_block.sum())  # enough globally
+        if (tight // B) < cap:
+            with pytest.raises(ValueError):
+                check_compact_capacity(env, (tight // B) * B, "flat", B)
