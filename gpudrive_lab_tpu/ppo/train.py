@@ -411,6 +411,8 @@ def main():
                    help="'flat' = one cross-world agent axis of --compact "
                         "rows (capacity: the batch's TOTAL controlled "
                         "count); the fast layout for imbalanced worlds")
+    p.add_argument("--keep-non-vehicles", action="store_true",
+                   help="create pedestrian/cyclist agents (EnvConfig.remove_non_vehicles=False) — needed for scene pools with crossing pedestrians")
     p.add_argument("--compact-blocks", type=int, default=0,
                    help="flat mode: block-local compaction over this "
                         "many contiguous world groups (multi-chip: "
@@ -465,6 +467,7 @@ def main():
         dynamics_model="classic",
         collision_behavior="ignore",
         init_steps=args.init_steps,
+        remove_non_vehicles=not args.keep_non_vehicles,
         road_gather=args.road_gather,
         agent_bucket=(
             int(args.agent_bucket)

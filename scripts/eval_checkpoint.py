@@ -30,6 +30,9 @@ def main():
                    help="expert log-playback warmup applied at reset; "
                         "default matches the campaign / reference config")
     p.add_argument("--platform", default=None)
+    p.add_argument("--keep-non-vehicles", action="store_true",
+                   help="create pedestrian/cyclist agents (match a "
+                        "campaign trained with --keep-non-vehicles)")
     args = p.parse_args()
 
     import jax
@@ -65,6 +68,7 @@ def main():
             dynamics_model="classic",
             collision_behavior="ignore",
             init_steps=args.init_steps,
+            remove_non_vehicles=not args.keep_non_vehicles,
         ),
         scene_paths=paths,
     )

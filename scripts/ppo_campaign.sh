@@ -53,6 +53,9 @@ EOF
     ${MAX_ROADS:+--max-roads "$MAX_ROADS"} \
     ${ROAD_GATHER:+--road-gather "$ROAD_GATHER"} \
     ${EPOCH_PRESHUFFLE:+--epoch-preshuffle} \
+    ${KEEP_NON_VEHICLES:+--keep-non-vehicles} \
+    ${COMPACT_BLOCKS:+--compact-blocks "$COMPACT_BLOCKS"} \
+    ${OBS_STORE_OVERRIDE:+--obs-store "$OBS_STORE_OVERRIDE"} \
     --resample-interval "${RESAMPLE_INTERVAL:-0}" \
     --checkpoint-interval 25 \
     --total-timesteps "$TARGET" \

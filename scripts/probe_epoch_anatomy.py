@@ -36,10 +36,19 @@ from gpudrive_lab_tpu.networks.late_fusion import (
     sample_logits,
 )
 
-T, N, D = 32, 4096, 3368
-M, EPOCHS = 16, 1
-Tm = T // M
-B = Tm * N  # 8192
+import os
+
+N, D = 4096, 3368
+# M chained minibatch updates per epoch program.  The production epoch runs
+# 16 over a [32, N] store, but the remote TPU compiler crashes (broken
+# pipe) on the 16-segment unrolled program — 4 segments compiles, and the
+# metric is ms/minibatch at the production minibatch SIZE, so T scales with
+# M to keep Tm = 2 and B = 8192 samples exactly as production.
+M = int(os.environ.get("PROBE_M", "4"))
+EPOCHS = 1
+Tm = 2
+T = Tm * M
+B = Tm * N  # samples per minibatch (8192 = production)
 
 pc = PolicyConfig(action_dim=91, dtype=jnp.bfloat16)
 policy = LateFusionPolicy(pc)
