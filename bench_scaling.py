@@ -111,17 +111,36 @@ def main():
     eff = {
         nd: results[nd] / (nd * base) for nd in counts
     }
-    print(
-        json.dumps(
-            {
-                "metric": "scaling_efficiency",
-                "value": round(eff[counts[-1]], 4),
-                "unit": f"SPS({counts[-1]} dev) / ({counts[-1]} x SPS(1))",
-                "per_device_counts": {str(k): round(v, 3) for k, v in eff.items()},
-                "virtual_devices": jax.default_backend() == "cpu",
-            }
-        )
+    # Virtual meshes (forced-host CPU devices, or any multi-"device" layout
+    # where all devices live in one process on one host) SHARE cores: the
+    # "efficiency" is really the host scheduler fighting itself, not
+    # interconnect scaling.  Label it invalid so nobody quotes it.
+    virtual = (
+        jax.default_backend() == "cpu"
+        and "xla_force_host_platform_device_count"
+        in os.environ.get("XLA_FLAGS", "")
+    ) or (
+        len({d.process_index for d in jax.devices()}) == 1
+        and len({getattr(d, "host_id", 0) for d in jax.devices()}) == 1
+        and jax.device_count() > 1
+        and jax.default_backend() == "cpu"
     )
+    out = {
+        "metric": "scaling_efficiency",
+        "value": round(eff[counts[-1]], 4),
+        "unit": f"SPS({counts[-1]} dev) / ({counts[-1]} x SPS(1))",
+        # BASELINE.md north star: >= 85% efficiency at scale.
+        "vs_baseline": round(eff[counts[-1]] / 0.85, 4),
+        "per_device_counts": {str(k): round(v, 3) for k, v in eff.items()},
+        "valid": not virtual,
+    }
+    if virtual:
+        out["invalid_reason"] = (
+            "virtual devices share one host's cores; this validates the "
+            "sharded program + measurement machinery only — run on a real "
+            "pod slice under jax.distributed for a quotable efficiency"
+        )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -217,8 +217,15 @@ def _dot_gather_rows(packed, idx, w_idx=None):
     TPU element gathers retire ~2 elem/cycle; expressing the same selection
     as one-hot [.., K, R] x packed [.., R, 10] rides the MXU instead.  XLA
     fuses the iota-compare one-hot into the dot operand (VMEM tiles only),
-    so nothing K*R-wide hits HBM.  EXACT in f32/HIGHEST: each output element
-    is a sum with exactly one nonzero term (1.0 * value)."""
+    so the ONE-HOT never hits HBM K*R-wide.  EXACT in f32/HIGHEST: each
+    output element is a sum with exactly one nonzero term (1.0 * value).
+
+    Large-R caveat (flat path): w_idx selection materializes
+    pw = packed[w_idx] as [N, R, 10] f32 — at flat N in the thousands with
+    the forced R=10240 bucket that is GBs per obs step.  Benched faster at
+    the production config (R<=2560, N=4096: 3.19 vs 4.57 ms), but expect it
+    to regress or OOM at large R; prefer road_gather="take" there (the
+    bench/train flag help says the same)."""
     R = packed.shape[1]
     oh = (idx[..., None] == jnp.arange(R, dtype=jnp.int32)).astype(jnp.float32)
     if w_idx is not None:

@@ -152,8 +152,10 @@ def main():
     env = GPUDriveTPUEnv(env_cfg, data_loader=loader)
     parts = [generate_state_action_pairs(env)]
     first_batch_paths = list(env.scene_paths)
+    trained_paths = set(first_batch_paths)
     for b in range(1, args.num_batches):
         env.swap_data_batch()
+        trained_paths.update(env.scene_paths)
         parts.append(generate_state_action_pairs(env))
         print(f"data batch {b + 1}/{args.num_batches} collected", flush=True)
     data = _concat_data_batches(parts)
@@ -215,10 +217,29 @@ def main():
     metrics = evaluate_closed_loop(eval_env, model, variables, bc_cfg)
     print(json.dumps({"split": "train", **metrics}))
     if args.eval_heldout:
-        heldout_paths = next(env.data_iterator)
-        heldout_env = GPUDriveTPUEnv(eval_cfg, scene_paths=heldout_paths)
-        metrics = evaluate_closed_loop(heldout_env, model, variables, bc_cfg)
-        print(json.dumps({"split": "heldout", **metrics}))
+        # The loader may be exhausted (small data dirs) or may have wrapped
+        # around during multi-batch collection — either way a "heldout" label
+        # would be a lie, so skip with a warning rather than crash or mislabel.
+        try:
+            heldout_paths = next(env.data_iterator)
+        except StopIteration:
+            print(json.dumps({"split": "heldout",
+                              "skipped": "data loader exhausted"}))
+            heldout_paths = None
+        if heldout_paths is not None:
+            overlap = trained_paths.intersection(heldout_paths)
+            if overlap:
+                print(json.dumps({
+                    "split": "heldout",
+                    "skipped": f"{len(overlap)} of {len(heldout_paths)} "
+                               "candidate scenes were trained on "
+                               "(loader wrapped around)"}))
+            else:
+                heldout_env = GPUDriveTPUEnv(eval_cfg,
+                                             scene_paths=heldout_paths)
+                metrics = evaluate_closed_loop(heldout_env, model,
+                                               variables, bc_cfg)
+                print(json.dumps({"split": "heldout", **metrics}))
 
 
 if __name__ == "__main__":

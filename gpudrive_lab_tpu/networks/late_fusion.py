@@ -32,6 +32,13 @@ class PolicyConfig:
     max_agents: int = C.MAX_AGENTS
     top_k_roads: int = C.MAX_AGENT_MAP_OBS
     dtype: Any = jnp.float32
+    # Rematerialize the partner/road embed+pool blocks in the backward pass:
+    # the [B, E, 64] embedding activations (road alone is ~210 MB/minibatch
+    # at the production 8192x200 tile) are never stored for bwd — they are
+    # recomputed from the ~40 MB inputs.  FLOPs are free here (the GEMMs are
+    # ~0.5 ms against multi-ms of activation HBM traffic); exactness is
+    # unaffected (bitwise-identical gradients).
+    embed_remat: bool = False
 
     @property
     def obs_dim(self) -> int:
@@ -44,18 +51,22 @@ class PolicyConfig:
 
 class _Embed(nn.Module):
     """Linear -> LayerNorm -> act -> Linear (reference embeds,
-    late_fusion.py:117-144)."""
+    late_fusion.py:117-144).  ``pool=True`` max-pools the entity axis
+    INSIDE the module so an nn.remat boundary saves only the [B, dim]
+    pooled row, not the [B, E, dim] lattice."""
 
     dim: int
     act: str
     dtype: Any
+    pool: bool = False
 
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.dim, dtype=self.dtype)(x)
         x = nn.LayerNorm(dtype=self.dtype)(x)
         x = nn.tanh(x) if self.act == "tanh" else nn.gelu(x)
-        return nn.Dense(self.dim, dtype=self.dtype)(x)
+        x = nn.Dense(self.dim, dtype=self.dtype)(x)
+        return x.max(axis=-2) if self.pool else x
 
 
 class LateFusionPolicy(nn.Module):
@@ -81,13 +92,17 @@ class LateFusionPolicy(nn.Module):
                 obs_flat.shape[:-1] + (cfg.top_k_roads, C.ROAD_GRAPH_FEAT_DIM)
             )
 
-        ego_embed = _Embed(cfg.input_dim, cfg.act_func, cfg.dtype)(ego)
-        partner_embed = _Embed(cfg.input_dim, cfg.act_func, cfg.dtype)(
-            partner
-        ).max(axis=-2)
-        road_embed = _Embed(cfg.input_dim, cfg.act_func, cfg.dtype)(road).max(
-            axis=-2
-        )
+        # Explicit names keep parameters at the historical auto-name paths
+        # ("_Embed_k") whether or not the module is remat-lifted, so
+        # embed_remat on/off and existing checkpoints stay interchangeable
+        # (tested: test_policy_embed_remat).
+        Emb = nn.remat(_Embed) if cfg.embed_remat else _Embed
+        ego_embed = _Embed(cfg.input_dim, cfg.act_func, cfg.dtype,
+                           name="_Embed_0")(ego)
+        partner_embed = Emb(cfg.input_dim, cfg.act_func, cfg.dtype,
+                            pool=True, name="_Embed_1")(partner)
+        road_embed = Emb(cfg.input_dim, cfg.act_func, cfg.dtype,
+                         pool=True, name="_Embed_2")(road)
 
         hidden = nn.Dense(cfg.hidden_dim, dtype=cfg.dtype)(
             jnp.concatenate([ego_embed, partner_embed, road_embed], axis=-1)

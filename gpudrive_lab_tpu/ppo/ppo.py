@@ -121,6 +121,12 @@ class PPOConfig:
     # GEMM-bound (road embed alone is ~180 GFLOP per 16K-sample minibatch),
     # so this is the main post-scatter-fix throughput lever.
     policy_dtype: str = "float32"
+    # Rematerialize the partner/road embed+pool blocks in the update's
+    # backward pass (PolicyConfig.embed_remat): the [B, E, 64] embedding
+    # activations — the dominant HBM traffic of a minibatch segment — are
+    # recomputed from the raw obs instead of stored.  Bitwise-identical
+    # gradients (tests/test_policy_embed_remat).
+    embed_remat: bool = False
     # Row-axis minibatch slicing (flat compaction only): cut each minibatch
     # to `minibatch_rows` agents of the flat [N] axis in addition to the
     # time slice, so minibatch HBM stays bounded as W grows (the W>=1024

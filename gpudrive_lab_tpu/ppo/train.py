@@ -268,6 +268,7 @@ def build_trainer(env: GPUDriveTPUEnv, ppo_config: PPOConfig,
         action_dim=env.action_space_n,
         dtype=jnp.bfloat16
         if ppo_config.policy_dtype == "bfloat16" else jnp.float32,
+        embed_remat=ppo_config.embed_remat,
     )
     policy = LateFusionPolicy(policy_config)
     init_fn, train_step, train_step_loop, train_step_dispatch = make_ppo_funcs(
@@ -428,6 +429,11 @@ def main():
     p.add_argument("--policy-dtype", choices=["f32", "bf16"], default="f32",
                    help="policy compute dtype: bf16 uses the MXU at full "
                         "rate (params/logits stay f32)")
+    p.add_argument("--embed-remat", action="store_true",
+                   help="recompute the partner/road embed+pool activations "
+                        "in the update's backward pass instead of storing "
+                        "them (bitwise-identical gradients, less HBM "
+                        "traffic per minibatch)")
     p.add_argument("--video-interval", type=int, default=0,
                    help="iterations between rollout videos rendered with "
                         "the current policy into <checkpoint-path>/videos/ "
@@ -492,7 +498,8 @@ def main():
                         policy_dtype="bfloat16"
                         if args.policy_dtype == "bf16" else "float32",
                         minibatch_rows=args.minibatch_rows,
-                        epoch_preshuffle=args.epoch_preshuffle)
+                        epoch_preshuffle=args.epoch_preshuffle,
+                        embed_remat=args.embed_remat)
     policy, variables, opt_state, carry, fresh, train_fn = build_trainer(
         env, ppo_cfg, seed=args.seed, rollout_mode=args.rollout_mode,
         iters_per_dispatch=args.iters_per_dispatch,
@@ -543,6 +550,7 @@ def main():
                 args.resample_interval
                 and global_step - resampled_at >= args.resample_interval
             ):
+                env_elapsed_before = profile.elapsed["env"]
                 with profile.phase("env"):
                     env.swap_data_batch()
                     check_compact_capacity(env, ppo_cfg.compact,
@@ -565,7 +573,8 @@ def main():
                         train_fn.set_env(env.scene, fresh, carry)
                 resampled_at = global_step
                 resample_count += 1
-                resample_time_s = profile.elapsed["env"]
+                # Duration of THIS swap (profile.elapsed is cumulative).
+                resample_time_s = profile.elapsed["env"] - env_elapsed_before
             with profile.phase("learn"):
                 # ONE batched device->host fetch (per-key np.asarray would
                 # be |metrics| blocking round trips on remote runtimes).

@@ -526,6 +526,52 @@ def test_epoch_preshuffle_matches_take_path(trainer):
         assert max(jax.tree.leaves(deltas)) < 2e-5, (name, deltas)
 
 
+def test_policy_embed_remat(trainer):
+    """PolicyConfig.embed_remat recomputes the partner/road embed+pool in
+    bwd: parameter trees are interchangeable (same names, same init) and a
+    full train iteration is BITWISE identical with it on/off — remat replays
+    the exact same ops, it never changes values."""
+    import jax.numpy as jnp
+
+    from gpudrive_lab_tpu.networks.late_fusion import (
+        LateFusionPolicy, PolicyConfig,
+    )
+
+    # module-level interchangeability
+    D = PolicyConfig().obs_dim
+    v0 = LateFusionPolicy(PolicyConfig()).init(
+        jax.random.PRNGKey(0), np.zeros((1, D), np.float32))
+    v1 = LateFusionPolicy(PolicyConfig(embed_remat=True)).init(
+        jax.random.PRNGKey(0), np.zeros((1, D), np.float32))
+    assert jax.tree_util.tree_structure(v0) == jax.tree_util.tree_structure(
+        v1)
+    assert all(np.array_equal(a, b)
+               for a, b in zip(jax.tree.leaves(v0), jax.tree.leaves(v1)))
+
+    # end-to-end train-iteration equality (split store, the production pair)
+    env, _ = trainer
+    n_ctrl = int(np.asarray(env.scene.agents.controlled).sum())
+    cap = ((n_ctrl + 1) // 2) * 2
+    outs = {}
+    for remat in (False, True):
+        _, variables, opt_state, carry, fresh, train_fn = build_trainer(
+            env,
+            PPOConfig(rollout_len=8, num_minibatches=2, update_epochs=2,
+                      remat_obs=False, obs_store="split", compact=cap,
+                      compact_mode="flat", embed_remat=remat),
+            seed=13,
+        )
+        variables, opt_state, carry, metrics = train_fn(
+            env.scene, variables, opt_state, carry, fresh,
+            env.reward_weights,
+        )
+        outs[remat] = jax.tree.map(np.asarray, variables)
+    deltas = jax.tree.map(
+        lambda a, b: float(np.max(np.abs(a - b))), outs[True], outs[False]
+    )
+    assert max(jax.tree.leaves(deltas)) == 0.0, deltas
+
+
 def test_split_obs_store_matches_flat(trainer):
     """obs_store='split' stores (ego, partner, road) per-modality buffers and
     feeds LateFusionPolicy's pre-split apply path.  Concat-then-slice is the
