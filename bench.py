@@ -91,6 +91,7 @@ def bench_train(args):
         minibatch_rows=args.minibatch_rows,
         epoch_preshuffle=args.epoch_preshuffle,
         embed_remat=args.embed_remat,
+        fused_embed=args.fused_embed,
     )
     policy, variables, opt_state, carry, fresh, train_fn = build_trainer(
         env, ppo_cfg, seed=0, rollout_mode=args.rollout_mode,
@@ -299,6 +300,10 @@ def main():
                    help="recompute the partner/road embed+pool activations "
                         "in the update's backward pass (--train; bitwise-"
                         "identical gradients, less minibatch HBM traffic)")
+    p.add_argument("--fused-embed", action="store_true",
+                   help="Pallas fused embed+pool kernel for partner/road "
+                        "(--train): the [B, E, 64] activations never touch "
+                        "HBM in fwd or bwd")
     p.add_argument("--packed-io", action="store_true",
                    help="keep train state in per-dtype packed device "
                         "buffers: ~12 handles per dispatch instead of ~227 "

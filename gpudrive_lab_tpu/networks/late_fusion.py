@@ -39,6 +39,13 @@ class PolicyConfig:
     # ~0.5 ms against multi-ms of activation HBM traffic); exactness is
     # unaffected (bitwise-identical gradients).
     embed_remat: bool = False
+    # Route the partner/road embed+pool through the Pallas fused kernel
+    # (networks/fused_embed.py): one HBM read of the obs, one [B, 64]
+    # write; fwd AND bwd never materialize [B, E, 64].  Same param tree.
+    # NOTE: d/d(obs) of the fused op is zero by design — only enable where
+    # the obs input is data (the PPO/IL update paths), never under a
+    # gradient w.r.t. observations.
+    fused_embed: bool = False
 
     @property
     def obs_dim(self) -> int:
@@ -53,19 +60,53 @@ class _Embed(nn.Module):
     """Linear -> LayerNorm -> act -> Linear (reference embeds,
     late_fusion.py:117-144).  ``pool=True`` max-pools the entity axis
     INSIDE the module so an nn.remat boundary saves only the [B, dim]
-    pooled row, not the [B, E, dim] lattice."""
+    pooled row, not the [B, E, dim] lattice.
+
+    ``fused=True`` (requires pool) routes through the Pallas
+    fused-embed-pool kernel (networks/fused_embed.py): the [B, E, dim]
+    activations never touch HBM.  The flax Dense/LayerNorm modules are
+    still declared (on a 1-row probe) so parameter names/shapes — and
+    therefore checkpoints — are identical across the flag."""
 
     dim: int
     act: str
     dtype: Any
     pool: bool = False
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.dim, dtype=self.dtype)(x)
-        x = nn.LayerNorm(dtype=self.dtype)(x)
+        d1 = nn.Dense(self.dim, dtype=self.dtype)
+        ln = nn.LayerNorm(dtype=self.dtype)
+        d2 = nn.Dense(self.dim, dtype=self.dtype)
+        if self.fused and self.pool and x.ndim >= 3:
+            from gpudrive_lab_tpu.networks.fused_embed import (
+                fused_embed_pool,
+            )
+
+            # Declare params at the exact unfused paths via a 1-row probe
+            # through the real modules (DCE'd at apply time: its output is
+            # unused).
+            probe = x.reshape((-1, x.shape[-1]))[:1]
+            p = d2(nn.tanh(ln(d1(probe))) if self.act == "tanh"
+                   else nn.gelu(ln(d1(probe))))
+            del p
+            params = self.variables["params"]
+            lead = x.shape[:-2]
+            x3 = x.reshape((-1,) + x.shape[-2:])
+            pooled = fused_embed_pool(
+                x3,
+                params["Dense_0"]["kernel"], params["Dense_0"]["bias"],
+                params["LayerNorm_0"]["scale"],
+                params["LayerNorm_0"]["bias"],
+                params["Dense_1"]["kernel"], params["Dense_1"]["bias"],
+                (self.act, jnp.dtype(self.dtype).name),
+            )
+            return pooled.reshape(lead + (self.dim,)).astype(self.dtype)
+        x = d1(x)
+        x = ln(x)
         x = nn.tanh(x) if self.act == "tanh" else nn.gelu(x)
-        x = nn.Dense(self.dim, dtype=self.dtype)(x)
+        x = d2(x)
         return x.max(axis=-2) if self.pool else x
 
 
@@ -100,9 +141,11 @@ class LateFusionPolicy(nn.Module):
         ego_embed = _Embed(cfg.input_dim, cfg.act_func, cfg.dtype,
                            name="_Embed_0")(ego)
         partner_embed = Emb(cfg.input_dim, cfg.act_func, cfg.dtype,
-                            pool=True, name="_Embed_1")(partner)
+                            pool=True, fused=cfg.fused_embed,
+                            name="_Embed_1")(partner)
         road_embed = Emb(cfg.input_dim, cfg.act_func, cfg.dtype,
-                         pool=True, name="_Embed_2")(road)
+                         pool=True, fused=cfg.fused_embed,
+                         name="_Embed_2")(road)
 
         hidden = nn.Dense(cfg.hidden_dim, dtype=cfg.dtype)(
             jnp.concatenate([ego_embed, partner_embed, road_embed], axis=-1)

@@ -127,6 +127,11 @@ class PPOConfig:
     # recomputed from the raw obs instead of stored.  Bitwise-identical
     # gradients (tests/test_policy_embed_remat).
     embed_remat: bool = False
+    # Route the policy's partner/road embed+pool through the Pallas fused
+    # kernel (networks/fused_embed.py): obs read once, pooled [B, 64] row
+    # written, the [B, E, 64] activation lattice never in HBM — in fwd OR
+    # bwd.  Safe here because obs are data (no gradient flows into them).
+    fused_embed: bool = False
     # Row-axis minibatch slicing (flat compaction only): cut each minibatch
     # to `minibatch_rows` agents of the flat [N] axis in addition to the
     # time slice, so minibatch HBM stays bounded as W grows (the W>=1024

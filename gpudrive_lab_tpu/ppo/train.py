@@ -269,6 +269,7 @@ def build_trainer(env: GPUDriveTPUEnv, ppo_config: PPOConfig,
         dtype=jnp.bfloat16
         if ppo_config.policy_dtype == "bfloat16" else jnp.float32,
         embed_remat=ppo_config.embed_remat,
+        fused_embed=ppo_config.fused_embed,
     )
     policy = LateFusionPolicy(policy_config)
     init_fn, train_step, train_step_loop, train_step_dispatch = make_ppo_funcs(
@@ -434,6 +435,10 @@ def main():
                         "in the update's backward pass instead of storing "
                         "them (bitwise-identical gradients, less HBM "
                         "traffic per minibatch)")
+    p.add_argument("--fused-embed", action="store_true",
+                   help="Pallas fused embed+pool kernel for partner/road: "
+                        "the [B, E, 64] activations never touch HBM in "
+                        "fwd or bwd")
     p.add_argument("--video-interval", type=int, default=0,
                    help="iterations between rollout videos rendered with "
                         "the current policy into <checkpoint-path>/videos/ "
@@ -499,7 +504,8 @@ def main():
                         if args.policy_dtype == "bf16" else "float32",
                         minibatch_rows=args.minibatch_rows,
                         epoch_preshuffle=args.epoch_preshuffle,
-                        embed_remat=args.embed_remat)
+                        embed_remat=args.embed_remat,
+                        fused_embed=args.fused_embed)
     policy, variables, opt_state, carry, fresh, train_fn = build_trainer(
         env, ppo_cfg, seed=args.seed, rollout_mode=args.rollout_mode,
         iters_per_dispatch=args.iters_per_dispatch,

@@ -126,7 +126,11 @@ if __name__ == "__main__":
         t0 = time.time()
         out = fn(variables, opt_state, batch,
                  jax.random.permutation(jax.random.PRNGKey(2), T))
-        jax.block_until_ready(out)
+        # HOST FETCH, not block_until_ready: the lazy axon runtime can
+        # acknowledge readiness without forcing remote execution — only a
+        # device->host fetch of a value that depends on ALL the work is a
+        # reliable barrier (CLAUDE.md benchmark doctrine).
+        float(out[2])
         comp = time.time() - t0
         best = 1e9
         for r in range(3):
@@ -137,7 +141,9 @@ if __name__ == "__main__":
             jax.block_until_ready((batch, variables2, opt2))
             t0 = time.time()
             o = fn(variables2, opt2, batch, perm)
-            jax.block_until_ready(o)
+            # acc covers every loss; the leaf fetch covers the final
+            # minibatch's optimizer update too.
+            float(o[2]); float(jax.tree.leaves(o[0])[0].ravel()[0])
             best = min(best, time.time() - t0)
         print(f"{mode:12s} {best*1000:8.1f} ms/epoch  "
               f"{best*1000/M:6.2f} ms/minibatch  (compile {comp:.0f}s)",
