@@ -20,11 +20,21 @@ def multi_policy_rollout(
     render_sim_state: bool = False,
     zoom_radius: float = 50.0,
     max_steps: Optional[int] = None,
+    render_worlds=(0,),
 ):
     """policies: {name: actor with .select_action(obs)};
     masks: {name: [W, A] bool} — must be disjoint subsets of the controlled
     mask.  Returns {name: {goal_achieved, collided, off_road}} fractions plus
-    optional frames."""
+    optional frames.
+
+    render_sim_state=True renders ``render_worlds`` each step (frames is a
+    list of per-step lists) and requires ``env.vis`` — raising immediately
+    beats silently collecting a video of Nones."""
+    if render_sim_state and not hasattr(env, "vis"):
+        raise ValueError(
+            "render_sim_state=True needs an env with a .vis visualizer "
+            "(GPUDriveTPUEnv(render_config=...) attaches one)"
+        )
     obs = env.reset()
     W, A = env.num_worlds, env.max_agent_count
     frames = []
@@ -47,10 +57,8 @@ def multi_policy_rollout(
         if render_sim_state:
             frames.append(
                 env.vis.plot_simulator_state(
-                    env.state, [0], zoom_radius=zoom_radius
-                )[0]
-                if hasattr(env, "vis")
-                else None
+                    env.state, list(render_worlds), zoom_radius=zoom_radius
+                )
             )
         if np.asarray(env.get_dones()).all():
             break

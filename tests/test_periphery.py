@@ -139,6 +139,12 @@ def test_multi_policy_rollout(example_scene_paths):
     assert set(metrics) == {"rand1", "rand2"}
     for v in metrics.values():
         assert set(v) == {"goal_achieved", "collided", "off_road"}
+    # render_sim_state without a visualizer must raise, not collect Nones
+    import pytest as _pytest
+    if not hasattr(env, "vis"):
+        with _pytest.raises(ValueError):
+            multi_policy_rollout(env, policies, masks, max_steps=1,
+                                 render_sim_state=True)
 
 
 def test_policy_actor_selects(example_scene_paths):
