@@ -50,6 +50,12 @@ class RnnTransition(NamedTuple):
     reward: jnp.ndarray
     done: jnp.ndarray
     mask: jnp.ndarray
+    # per-world episode stats at auto-reset (mirrors ppo.Transition so RNN
+    # campaigns report goal/collision rates, not just losses)
+    ep_done: jnp.ndarray
+    ep_goal: jnp.ndarray
+    ep_collided: jnp.ndarray
+    ep_off_road: jnp.ndarray
 
 
 def make_rnn_ppo_funcs(
@@ -130,13 +136,26 @@ def make_rnn_ppo_funcs(
                 scene, state, params, reward_type, weights, wts_mid
             )
             done = (state.done != 0).astype(jnp.float32)
+            world_done = jnp.all(
+                (state.done != 0) | ~scene.agents.valid, axis=1
+            )
+            n_ctrl = jnp.maximum(jnp.sum(controlled, axis=1), 1)
+            frac = lambda x: jnp.where(
+                world_done, jnp.sum(x * controlled, axis=1) / n_ctrl, 0.0
+            )
             t = RnnTransition(
                 obs=obs.astype(config.obs_store_dtype), reset_pre=reset_pre,
                 action=a, logprob=logp, value=value,
                 reward=gather_c(reward), done=gather_c(done), mask=mask,
-            )
-            world_done = jnp.all(
-                (state.done != 0) | ~scene.agents.valid, axis=1
+                ep_done=world_done,
+                ep_goal=frac(state.reached_goal),
+                ep_collided=frac(
+                    jnp.clip(
+                        state.collided_vehicle + state.collided_non_vehicle,
+                        0, 1,
+                    )
+                ),
+                ep_off_road=frac(jnp.clip(state.collided_road, 0, 1)),
             )
             blend = lambda f, s: jnp.where(
                 world_done.reshape((-1,) + (1,) * (s.ndim - 1)), f, s
@@ -300,6 +319,14 @@ def make_rnn_ppo_funcs(
         carry = carry._replace(rng=rng_next)
         metrics = jax.tree.map(lambda x: x.mean(), auxes)
         metrics["samples"] = traj.mask.sum()
+        metrics["mean_reward"] = (traj.reward * traj.mask).sum() / (
+            jnp.maximum(traj.mask.sum(), 1)
+        )
+        n_ep = jnp.maximum(traj.ep_done.sum(), 1)
+        metrics["episodes"] = traj.ep_done.sum()
+        metrics["perc_goal_achieved"] = traj.ep_goal.sum() / n_ep
+        metrics["perc_collisions"] = traj.ep_collided.sum() / n_ep
+        metrics["perc_off_road"] = traj.ep_off_road.sum() / n_ep
         return variables, opt_state, carry, metrics
 
     def init_fn(rng, num_worlds, example_obs):
