@@ -17,7 +17,19 @@ run() {
   fi
 }
 
-# 1. The 200K attempt: round-4 peak config + split store + fused embed+pool.
+# 1. Sensor benches first (VERDICT item 4) — small programs, quick compiles,
+#    so the numbers land even if the big fused compile below runs long.
+#    Lidar: the SURVEY hot spot, default and forced-10240 road buckets.  BEV
+#    rasterizer and RGBD camera at sizes their [W, A, cells/rays, entities]
+#    lattices allow.
+run bench_lidar_w64 3600 python bench.py --worlds 64 --steps 91 --repeats 3 --lidar
+run bench_lidar_r10240 3600 python bench.py --worlds 64 --steps 91 --repeats 3 \
+    --lidar --max-roads 10240
+run bench_bev_w8 3600 python bench.py --worlds 8 --steps 91 --repeats 3 --bev
+run bench_camera_w4 3600 python bench.py --worlds 4 --steps 30 --repeats 3 \
+    --camera --camera-size 64
+
+# 2. The 200K attempt: round-4 peak config + split store + fused embed+pool.
 run train_w256_fused 10800 python bench.py --train --worlds 256 --init-steps 11 \
     --rollout-len 32 --num-minibatches 16 \
     --compact 4096 --compact-mode flat --obs-store split-bf16 \
@@ -25,15 +37,8 @@ run train_w256_fused 10800 python bench.py --train --worlds 256 --init-steps 11 
     --rollout-mode unroll --packed-io --agent-bucket 64 \
     --train-iters 4 --repeats 2
 
-# 2. Sensor benches (VERDICT item 4).  Lidar: the SURVEY hot spot, default
-#    and forced-10240 road buckets.  BEV rasterizer and RGBD camera at sizes
-#    their [W, A, cells/rays, entities] lattices allow.
-run bench_lidar_w64 7200 python bench.py --worlds 64 --steps 91 --repeats 3 --lidar
-run bench_lidar_r10240 7200 python bench.py --worlds 64 --steps 91 --repeats 3 \
-    --lidar --max-roads 10240
-run bench_bev_w8 7200 python bench.py --worlds 8 --steps 91 --repeats 3 --bev
-run bench_camera_w4 7200 python bench.py --worlds 4 --steps 30 --repeats 3 \
-    --camera --camera-size 64
+# 2b. SB3-stack training SPS (VERDICT item 9): the reference's 25-50K row.
+run bench_sb3_w32 3600 python scripts/bench_sb3.py --worlds 32 --windows 2
 
 # 3. IL campaign on the v3 pool (VERDICT item 5): 256 train scenes over 8
 #    batches, heldout eval on the next never-trained batch.
