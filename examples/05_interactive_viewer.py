@@ -4,8 +4,11 @@ Counterpart of the reference's Madrona viewer app (reference:
 src/viewer.cpp:16-210: fly camera, per-agent view, WASD -> setAction).
 Matplotlib-based: arrow keys / WASD steer the chosen agent, space pauses,
 'n' switches agents; every key press advances the simulation one step.
+``--fly`` switches to the Madrona viewer's free 3-D camera: WASD translates
+in the look direction's horizontal plane, r/f climb/descend, i/k/j/l look,
+'p' advances the sim one replay-log step (core.render.free_camera_render).
 Requires a display (run locally, not headless); the control logic itself is
-exercised headlessly by tests via ``KeyboardController``.
+exercised headlessly by tests via ``KeyboardController``/``FlyCamera``.
 """
 
 import argparse
@@ -62,10 +65,78 @@ class KeyboardController:
         return np.asarray(self.env.state.pos)[0, self.agent_idx]
 
 
+class FlyCamera:
+    """Free 3-D camera piloted by the keyboard (reference: src/viewer.cpp
+    fly-camera controls).  Pure state + key handling; ``view()`` renders the
+    current pose through core.render.free_camera_render, so it is headless-
+    testable without a display."""
+
+    MOVE = 4.0  # meters per key press
+    TURN = 0.15  # radians per key press
+
+    def __init__(self, env: GPUDriveTPUEnv, height: int = 160,
+                 width: int = 160, world: int = 0):
+        from gpudrive_lab_tpu.core.render import CameraConfig
+
+        self.env = env
+        self.world = world
+        self.config = CameraConfig(height=height, width=width)
+        # start above the scene's first valid agent, looking its way
+        valid = np.nonzero(np.asarray(env.scene.agents.valid)[world])[0]
+        a = int(valid[0]) if len(valid) else 0
+        pos = np.asarray(env.state.pos)[world, a]
+        self.pos = np.array([pos[0], pos[1], 15.0], np.float32)
+        self.yaw = float(np.asarray(env.state.yaw)[world, a])
+        self.pitch = -0.5
+
+    def handle_key(self, key: str) -> bool:
+        """Update the pose; returns True if the key was a camera control."""
+        c, s = np.cos(self.yaw), np.sin(self.yaw)
+        fwd = np.array([c, s, 0.0]) * self.MOVE
+        left = np.array([-s, c, 0.0]) * self.MOVE
+        if key == "w":
+            self.pos += fwd
+        elif key == "s":
+            self.pos -= fwd
+        elif key == "a":
+            self.pos += left
+        elif key == "d":
+            self.pos -= left
+        elif key == "r":
+            self.pos[2] += self.MOVE
+        elif key == "f":
+            self.pos[2] -= self.MOVE
+        elif key in ("j", "left"):
+            self.yaw += self.TURN
+        elif key in ("l", "right"):
+            self.yaw -= self.TURN
+        elif key in ("i", "up"):
+            self.pitch = min(self.pitch + self.TURN, 1.5)
+        elif key in ("k", "down"):
+            self.pitch = max(self.pitch - self.TURN, -1.5)
+        else:
+            return False
+        return True
+
+    def view(self) -> np.ndarray:
+        """[H, W, 4] uint8 frame at the current pose."""
+        from gpudrive_lab_tpu.core.render import free_camera_render
+
+        rgb, _ = free_camera_render(
+            self.env.scene, self.env.state,
+            jnp.asarray(self.pos), jnp.float32(self.yaw),
+            jnp.float32(self.pitch), self.config, world=self.world,
+        )
+        return np.asarray(rgb)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--scene", default="/root/reference/tests/pytest_data/test.json")
     p.add_argument("--zoom", type=float, default=50.0)
+    p.add_argument("--fly", action="store_true",
+                   help="free 3-D fly camera instead of the top-down drive "
+                        "view (reference: src/viewer.cpp)")
     args = p.parse_args()
 
     env = GPUDriveTPUEnv(
@@ -90,15 +161,22 @@ def main():
     import matplotlib.pyplot as plt
 
     fig, ax = plt.subplots(figsize=(8, 8))
+    fly = FlyCamera(env) if args.fly else None
 
     def redraw():
         ax.clear()
-        img = env.render(0, zoom_radius=args.zoom)
-        ax.imshow(img)
-        ax.set_title(
-            f"agent {ctl.agent_idx} — WASD/arrows drive, n: next agent, "
-            "p: replay-log step, q: quit"
-        )
+        if fly is not None:
+            ax.imshow(fly.view())
+            ax.set_title(
+                "fly camera — wasd move, r/f up/down, ijkl look, "
+                "p: replay-log step, q: quit"
+            )
+        else:
+            ax.imshow(env.render(0, zoom_radius=args.zoom))
+            ax.set_title(
+                f"agent {ctl.agent_idx} — WASD/arrows drive, n: next agent, "
+                "p: replay-log step, q: quit"
+            )
         ax.set_axis_off()
         fig.canvas.draw_idle()
 
@@ -106,7 +184,12 @@ def main():
         if event.key == "q":
             plt.close(fig)
             return
-        if event.key == "n":
+        if fly is not None:
+            if event.key == "p":
+                ctl.replay_step()
+            else:
+                fly.handle_key(event.key or "")
+        elif event.key == "n":
             ctl.next_agent()
         elif event.key == "p":
             ctl.replay_step()

@@ -112,6 +112,103 @@ def _ray_box_t3(origin, dir3, box_pos, box_yaw, box_half):
     return jnp.where(hit, tmin, jnp.inf)
 
 
+def _shade_hits(t_all, etypes, dz, cfg: CameraConfig):
+    """Shared flat shading: nearest hit over the entity axis -> (rgba f32,
+    depth f32).  t_all [..., E] hit params, etypes [E], dz [...] world-frame
+    ray z component (horizon split for the background)."""
+    albedo = jnp.asarray(_TYPE_ALBEDO, jnp.float32)
+    sky = jnp.asarray(_SKY, jnp.float32)
+    ground = jnp.asarray(_GROUND, jnp.float32)
+    best = jnp.min(t_all, axis=-1)
+    best_idx = jnp.argmin(t_all, axis=-1)
+    hit = best <= cfg.max_depth
+    hit_type = jnp.take(etypes, best_idx)
+    shade = 1.0 / (1.0 + 0.01 * best)
+    color = jnp.take(albedo, jnp.clip(hit_type, 0, 15), axis=0) * shade[..., None]
+    background = jnp.where(
+        (dz < 0.0)[..., None], ground[None, None], sky[None, None]
+    )
+    rgb = jnp.where(hit[..., None], color, background)
+    rgb = jnp.concatenate(
+        [rgb, jnp.full(rgb.shape[:-1] + (1,), 255.0)], axis=-1
+    )
+    depth = jnp.where(hit, best, 0.0)
+    return rgb, depth
+
+
+@functools.partial(jax.jit, static_argnames=("config", "world"))
+def free_camera_render(
+    scene: Scene,
+    state: SimState,
+    cam_pos: jnp.ndarray,
+    cam_yaw: jnp.ndarray,
+    cam_pitch: jnp.ndarray,
+    config: CameraConfig,
+    world: int = 0,
+    exclude_agent: int = -1,
+):
+    """Render ONE free camera (fly-camera viewer parity, reference:
+    src/viewer.cpp:16-210 — the Madrona viewer's user-piloted 3-D camera).
+
+    cam_pos [3] world-frame eye; cam_yaw/cam_pitch scalars (radians,
+    pitch > 0 looks up); exclude_agent >= 0 hides that agent's box (the
+    batch renderer's self-exclusion, for rides-along views).  Returns
+    (rgb [H, Wpx, 4] uint8, depth [H, Wpx] float32).  Same ray-vs-OBB
+    lattice as batch_render: at pose (agent pos + eye height, agent yaw,
+    pitch 0) with exclude_agent=that agent it reproduces the agent's batch
+    view exactly (tests/test_render.py)."""
+    cfg = config
+    A = state.pos.shape[1]
+    P = cfg.height * cfg.width
+    agents = scene.agents
+    roads = scene.roads
+
+    d_cam = jnp.asarray(_pixel_dirs(cfg).reshape(P, 3))  # [P, 3]
+    # pitch about the camera's left (y) axis: forward -> (cos p, 0, sin p)
+    cp, sp = jnp.cos(cam_pitch), jnp.sin(cam_pitch)
+    px = d_cam[:, 0] * cp - d_cam[:, 2] * sp
+    pz = d_cam[:, 0] * sp + d_cam[:, 2] * cp
+    # yaw about world z
+    cy, sy = jnp.cos(cam_yaw), jnp.sin(cam_yaw)
+    d3 = jnp.stack(
+        [px * cy - d_cam[:, 1] * sy, px * sy + d_cam[:, 1] * cy, pz],
+        axis=-1,
+    )  # [P, 3]
+    o3 = cam_pos[None, :]  # [1, 3]
+
+    rhalf = roads.scale[world]
+    t_road = _ray_box_t3(
+        o3[:, None, :], d3[:, None, :],
+        roads.pos[world][None], roads.yaw[world][None], rhalf[None],
+    )  # [P, R]
+    t_road = jnp.where(roads.valid[world][None], t_road, jnp.inf)
+
+    apos3 = jnp.concatenate(
+        [state.pos[world], state.z[world][:, None]], axis=-1
+    )
+    ahalf = jnp.concatenate(
+        [
+            agents.size[world, :, 0:2] * (0.5 * C.VEHICLE_LENGTH_SCALE),
+            jnp.full((A, 1), AGENT_HALF_HEIGHT),
+        ],
+        axis=-1,
+    )
+    t_agent = _ray_box_t3(
+        o3[:, None, :], d3[:, None, :],
+        apos3[None], state.yaw[world][None], ahalf[None],
+    )  # [P, A]
+    visible = agents.valid[world] & (jnp.arange(A) != exclude_agent)
+    t_agent = jnp.where(visible[None], t_agent, jnp.inf)
+
+    t_all = jnp.concatenate([t_road, t_agent], axis=-1)  # [P, E]
+    etypes = jnp.concatenate([roads.etype[world], agents.etype[world]])
+    rgb, depth = _shade_hits(t_all, etypes, d3[:, 2], cfg)
+    return (
+        rgb.reshape(cfg.height, cfg.width, 4).astype(jnp.uint8),
+        depth.reshape(cfg.height, cfg.width),
+    )
+
+
 @functools.partial(jax.jit, static_argnames="config")
 def batch_render(scene: Scene, state: SimState, config: CameraConfig):
     """Render every agent's camera.  Returns (rgb [W, A, H, Wpx, 4] uint8,
@@ -135,10 +232,6 @@ def batch_render(scene: Scene, state: SimState, config: CameraConfig):
         ],
         axis=-1,
     )
-    albedo = jnp.asarray(_TYPE_ALBEDO, jnp.float32)
-    sky = jnp.asarray(_SKY, jnp.float32)
-    ground = jnp.asarray(_GROUND, jnp.float32)
-
     def render_agent_block(args):
         """One chunk of agent indices for one world slice; returns
         (rgb [chunk, P, 4] u8, depth [chunk, P])."""
@@ -177,21 +270,7 @@ def batch_render(scene: Scene, state: SimState, config: CameraConfig):
 
         t_all = jnp.concatenate([t_road, t_agent], axis=-1)  # [chunk,P,E]
         etypes = jnp.concatenate([retype, aetype])  # [E]
-        best = jnp.min(t_all, axis=-1)
-        best_idx = jnp.argmin(t_all, axis=-1)
-        hit = best <= cfg.max_depth
-        hit_type = jnp.take(etypes, best_idx)  # [chunk, P]
-
-        shade = 1.0 / (1.0 + 0.01 * best)
-        color = jnp.take(albedo, jnp.clip(hit_type, 0, 15), axis=0) * shade[..., None]
-        background = jnp.where(
-            (dz < 0.0)[..., None], ground[None, None], sky[None, None]
-        )
-        rgb = jnp.where(hit[..., None], color, background)
-        rgb = jnp.concatenate(
-            [rgb, jnp.full(rgb.shape[:-1] + (1,), 255.0)], axis=-1
-        )
-        depth = jnp.where(hit, best, 0.0)
+        rgb, depth = _shade_hits(t_all, etypes, dz, cfg)
         return rgb.astype(jnp.uint8), depth
 
     chunk = min(cfg.agent_chunk, A)
