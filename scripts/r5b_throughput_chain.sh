@@ -55,4 +55,9 @@ run rnn_campaign_50m 10800 python scripts/train_rnn.py --num-worlds 64 \
     --agent-bucket 64 --total-timesteps 50000000 \
     --checkpoint-path runs/rnn_campaign --continue-training
 
+# 5. Rollout-floor attack (VERDICT item 7): single fused W=256 program vs
+#    two interleaved independent W=128 shard programs, rollout-only.
+run rollout_overlap 7200 python scripts/probe_rollout_overlap.py \
+    --worlds 256 --compact 4096 --iters 6 --repeats 3
+
 echo "R5BCHAIN_DONE $(date)" | tee -a "$LOG/r5chain.log"
