@@ -1,0 +1,39 @@
+#!/bin/bash
+# Round-5 chain C: resampling campaign over a 10,240-scene v3 pool —
+# training-scale realism (the reference's published policy trains on 10K
+# WOMD scenes, reference: README.md:207-213).  Resample every 250K steps ->
+# ~200 swaps x 64 worlds = 12,800 scene slots, covering the pool.
+# Real WOMD examples held out entirely (zero-shot eval below).
+set -u
+cd "$(dirname "$0")/.."
+LOG=${1:-bench_logs}
+mkdir -p "$LOG"
+
+run() {
+  local name=$1 cap=$2; shift 2
+  echo "=== $name start $(date +%H:%M:%S) ===" | tee -a "$LOG/r5chain.log"
+  timeout "$cap" "$@" >"$LOG/$name.log" 2>&1
+  local rc=$?
+  echo "--- $name rc=$rc $(date +%H:%M:%S)" | tee -a "$LOG/r5chain.log"
+  if [ "$rc" -ne 0 ] && [ "$rc" -ne 124 ]; then
+    echo "WARN: $name failed rc=$rc (see $LOG/$name.log)" | tee -a "$LOG/r5chain.log"
+  fi
+}
+
+run campaign_10k 5400 env \
+    DATA_DIR=data/pool_10k NUM_WORLDS=64 COMPACT=2048 COMPACT_MODE=flat \
+    POLICY_DTYPE=bf16 PACKED_IO=1 AGENT_BUCKET=32 MAX_ROADS=256 \
+    ROAD_GATHER=dot RESAMPLE_INTERVAL=250000 CHUNK_TIMEOUT=5100 \
+    KEEP_NON_VEHICLES=1 \
+    bash scripts/ppo_campaign.sh 50000000 runs/campaign_10k
+
+run campaign10k_eval_pool 3600 python scripts/eval_checkpoint.py \
+    --checkpoint runs/campaign_10k/policy.pkl \
+    --scenes-dir data/pool_10k --num-worlds 64 --episodes 2 \
+    --keep-non-vehicles
+run campaign10k_eval_real_zeroshot 3600 python scripts/eval_checkpoint.py \
+    --checkpoint runs/campaign_10k/policy.pkl \
+    --scenes-dir /root/reference/data/processed/examples \
+    --num-worlds 8 --episodes 2 --keep-non-vehicles
+
+echo "R5CCHAIN_DONE $(date)" | tee -a "$LOG/r5chain.log"
