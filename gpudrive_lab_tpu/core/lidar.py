@@ -6,6 +6,14 @@ Vectorized replacement for the reference's BVH ray-trace lidar
 (sim.cpp:898-913) becomes a broadcasted [W, A, 3, S, E] ray-vs-OBB slab test
 reduced with a masked min over entities — pure VPU work.
 
+Memory: the road term is reduced in CHUNKS along the road axis via lax.scan
+(carrying the running (min-t, argmin-type) pair), so nothing [S, R]-wide
+ever materializes in HBM — the full dense lattice at the forced R=10240
+bucket is 25 GB and OOMs a 16 GB chip, while the chunked scan is bounded by
+one [W, A, S, RC] tile.  Tie-breaking matches the dense argmin (first
+entity index wins) because chunks scan in index order with strict-less
+updates.
+
 Plane semantics come from the reference's z-offsets (src/consts.hpp:42-44):
 each horizontal ray plane only intersects entities whose z-extent contains
 the plane height — cars plane (z=1.5) sees agents + stop signs, road-edge
@@ -59,15 +67,98 @@ def _ray_box_t(origin, dir_xy, box_pos, box_yaw, box_half):
     return jnp.where(hit, tmin, jnp.inf)
 
 
+def _road_min_scan(
+    roads, origin, dir_xy, plane_z, chunk: int
+):
+    """Chunked (min-t, type-of-argmin) reduction over the road axis.
+
+    Returns (best_t [W, A, 3, S], best_type [W, A, 3, S] int32) with dense
+    first-index tie-break.  One [W, A, S, chunk] slab-test tile is live at a
+    time; the scan carry is [W, A, 3, S]-sized."""
+    import jax
+
+    W, A, S = dir_xy.shape[:3]
+    R = roads.valid.shape[1]
+    n = (R + chunk - 1) // chunk
+    pad = n * chunk - R
+
+    def chunked(x, fill=0.0):
+        if pad:
+            cfg = [(0, 0)] * x.ndim
+            cfg[1] = (0, pad)
+            x = jnp.pad(x, cfg, constant_values=fill)
+        return jnp.moveaxis(
+            x.reshape((x.shape[0], n, chunk) + x.shape[2:]), 1, 0
+        )
+
+    xs = (
+        chunked(roads.pos),  # [n, W, RC, 3]
+        chunked(roads.yaw),
+        chunked(roads.scale),
+        chunked(roads.valid, fill=False),
+        chunked(roads.etype),
+    )
+
+    init = (
+        jnp.full((W, A, 3, S), jnp.inf, jnp.float32),
+        jnp.zeros((W, A, 3, S), jnp.int32),
+    )
+
+    def body(carry, x):
+        best_t, best_ty = carry
+        rpos, ryaw, rscale, rvalid, retype = x
+        r_lo = rpos[..., 2] - rscale[..., 2]
+        r_hi = rpos[..., 2] + rscale[..., 2]
+        rz_ok = (
+            (plane_z[..., :, None] >= r_lo[:, None, None, :])
+            & (plane_z[..., :, None] <= r_hi[:, None, None, :])
+            & rvalid[:, None, None, :]
+        )  # [W, A, 3, RC]
+        t = _ray_box_t(
+            origin[:, :, None, :, None, :],
+            dir_xy[:, :, None, :, None, :],
+            rpos[:, None, None, None, :, 0:2],
+            ryaw[:, None, None, None, :],
+            rscale[:, None, None, None, :, 0:2],
+        )  # [W, A, 1, S, RC]
+        t = jnp.where(rz_ok[:, :, :, None, :], t, jnp.inf)
+        c_t = jnp.min(t, axis=-1)  # [W, A, 3, S]
+        c_ty = jnp.take_along_axis(
+            jnp.broadcast_to(
+                retype[:, None, None, None, :], t.shape[:-1] + (chunk,)
+            ),
+            jnp.argmin(t, axis=-1)[..., None],
+            axis=-1,
+        )[..., 0]
+        upd = c_t < best_t  # strict: earlier chunk wins ties = dense argmin
+        return (
+            jnp.where(upd, c_t, best_t),
+            jnp.where(upd, c_ty, best_ty),
+        ), None
+
+    (best_t, best_ty), _ = jax.lax.scan(body, init, xs)
+    return best_t, best_ty
+
+
 def lidar_observation(
-    scene: Scene, state: SimState, params: Params, actions: jnp.ndarray
+    scene: Scene,
+    state: SimState,
+    params: Params,
+    actions: jnp.ndarray,
+    road_chunk: int | None = None,
 ) -> jnp.ndarray:
     """[W, A, 3, S, 4] lidar samples.  ``actions`` supplies headAngle for
-    controlled agents (src/sim.cpp:409-410)."""
+    controlled agents (src/sim.cpp:409-410).  ``road_chunk``: road-axis
+    reduction chunk; None auto-chunks at 256 when R > 512 (the dense
+    [W, A, S, R] lattice stops fitting HBM as W and R grow), 0 forces the
+    dense path."""
     W, A = state.pos.shape[:2]
     S = C.NUM_LIDAR_SAMPLES
     agents = scene.agents
     roads = scene.roads
+    R = roads.valid.shape[1]
+    if road_chunk is None:
+        road_chunk = 256 if R > 512 else 0
 
     head = jnp.where(agents.controlled, actions[..., 2], 0.0)  # [W, A]
     idx = jnp.arange(S, dtype=jnp.float32)
@@ -84,22 +175,35 @@ def lidar_observation(
     )  # [W, A, 3]
 
     # --- road entities -------------------------------------------------
-    r_lo = roads.pos[..., 2] - roads.scale[..., 2]
-    r_hi = roads.pos[..., 2] + roads.scale[..., 2]
-    # [W, A, 3, R]: plane height within entity z-extent
-    rz_ok = (
-        (plane_z[..., :, None] >= r_lo[:, None, None, :])
-        & (plane_z[..., :, None] <= r_hi[:, None, None, :])
-        & roads.valid[:, None, None, :]
-    )
-    t_road = _ray_box_t(
-        origin[:, :, None, :, None, :],  # [W, A, 1, S, 1, 2]
-        dir_xy[:, :, None, :, None, :],
-        roads.pos[:, None, None, None, :, 0:2],
-        roads.yaw[:, None, None, None, :],
-        roads.scale[:, None, None, None, :, 0:2],
-    )  # [W, A, 1, S, R] -> broadcast over planes via where
-    t_road = jnp.where(rz_ok[:, :, :, None, :], t_road, jnp.inf)
+    if road_chunk:
+        road_best_t, road_best_ty = _road_min_scan(
+            roads, origin, dir_xy, plane_z, road_chunk
+        )
+    else:
+        r_lo = roads.pos[..., 2] - roads.scale[..., 2]
+        r_hi = roads.pos[..., 2] + roads.scale[..., 2]
+        # [W, A, 3, R]: plane height within entity z-extent
+        rz_ok = (
+            (plane_z[..., :, None] >= r_lo[:, None, None, :])
+            & (plane_z[..., :, None] <= r_hi[:, None, None, :])
+            & roads.valid[:, None, None, :]
+        )
+        t_road = _ray_box_t(
+            origin[:, :, None, :, None, :],  # [W, A, 1, S, 1, 2]
+            dir_xy[:, :, None, :, None, :],
+            roads.pos[:, None, None, None, :, 0:2],
+            roads.yaw[:, None, None, None, :],
+            roads.scale[:, None, None, None, :, 0:2],
+        )  # [W, A, 1, S, R] -> broadcast over planes via where
+        t_road = jnp.where(rz_ok[:, :, :, None, :], t_road, jnp.inf)
+        road_best_t = jnp.min(t_road, axis=-1)
+        road_best_ty = jnp.take_along_axis(
+            jnp.broadcast_to(
+                roads.etype[:, None, None, None, :], t_road.shape
+            ),
+            jnp.argmin(t_road, axis=-1)[..., None],
+            axis=-1,
+        )[..., 0]
 
     # --- other agents ---------------------------------------------------
     half = agents.size[..., 0:2] * (0.5 * C.VEHICLE_LENGTH_SCALE)
@@ -123,22 +227,18 @@ def lidar_observation(
     t_agent = jnp.where(az_ok[:, :, :, None, :], t_agent, jnp.inf)
 
     # --- nearest hit ----------------------------------------------------
-    t_all = jnp.concatenate([t_road, t_agent], axis=-1)  # [W,A,3,S,R+A]
-    types = jnp.concatenate(
-        [
-            roads.etype[:, None, None, None, :],
-            agents.etype[:, None, None, None, :],
-        ],
-        axis=-1,
-    )
-    best = jnp.min(t_all, axis=-1)
-    best_idx = jnp.argmin(t_all, axis=-1)
-    hit = best <= C.LIDAR_DISTANCE
-    best_type = jnp.take_along_axis(
-        jnp.broadcast_to(types, t_all.shape[:-1] + (types.shape[-1],)),
-        best_idx[..., None],
+    # combine the road reduction with the agent lattice; ties go to the
+    # road term (lower concatenated index, matching the dense argmin)
+    agent_best_t = jnp.min(t_agent, axis=-1)  # [W, A, 3, S]
+    agent_best_ty = jnp.take_along_axis(
+        jnp.broadcast_to(agents.etype[:, None, None, None, :], t_agent.shape),
+        jnp.argmin(t_agent, axis=-1)[..., None],
         axis=-1,
     )[..., 0]
+    agent_wins = agent_best_t < road_best_t
+    best = jnp.where(agent_wins, agent_best_t, road_best_t)
+    best_type = jnp.where(agent_wins, agent_best_ty, road_best_ty)
+    hit = best <= C.LIDAR_DISTANCE
 
     depth = jnp.where(hit, best, 0.0)
     etype = jnp.where(hit, best_type.astype(jnp.float32), 0.0)

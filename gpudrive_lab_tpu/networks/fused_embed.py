@@ -42,8 +42,13 @@ from jax.experimental.pallas import tpu as pltpu
 _LN_EPS = 1e-6  # flax.linen.LayerNorm default
 
 # One B-tile of the grid; entity chunks sized so each [TB*EC, 64] f32
-# intermediate is ~2 MB of VMEM (a handful are live at once).
-_TB = 128
+# intermediate stays small.  Mosaic's scoped-vmem stack scales with the
+# UNROLLED chunk count (it does not reuse stack across the Python-level
+# chunk loop): on a real v5e the fwd kernel at TB=128 was 164 KB over the
+# 16 MB limit and the bwd at TB=64 was 1.43 MB over ([4096, 127, 6]
+# partner shape); TB=32 AOT-compiles both kernels at both production
+# shapes with headroom.
+_TB = 32
 _EC = 16
 
 

@@ -20,6 +20,15 @@ run() {
   fi
 }
 
+# 0. Fused-embed train bench re-run (VERDICT item 1): the chain-B attempt
+#    died in a Mosaic scoped-vmem OOM at TB=128; TB=32 AOT-verified.
+run train_w256_fused2 10800 python bench.py --train --worlds 256 --init-steps 11 \
+    --rollout-len 32 --num-minibatches 16 \
+    --compact 4096 --compact-mode flat --obs-store split-bf16 \
+    --policy-dtype bf16 --road-gather dot --fused-embed \
+    --rollout-mode unroll --packed-io --agent-bucket 64 \
+    --train-iters 4 --repeats 2
+
 run campaign_10k 5400 env \
     DATA_DIR=data/pool_10k NUM_WORLDS=64 COMPACT=2048 COMPACT_MODE=flat \
     POLICY_DTYPE=bf16 PACKED_IO=1 AGENT_BUCKET=32 MAX_ROADS=256 \

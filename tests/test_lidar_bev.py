@@ -157,3 +157,58 @@ def test_render_3d_mode(example_scene_paths):
     vis2d = MatplotlibVisualizer(env.scene)
     img2d = vis2d.plot_simulator_state(env.state, env_indices=[0])[0]
     assert img2d.ndim == 3
+
+
+def test_lidar_chunked_road_scan_matches_dense():
+    """The memory-bounded chunked road reduction matches the dense
+    [W, A, 3, S, R] path on a real scene: hit TYPES exactly (same winner,
+    same tie-breaks), float fields to 1e-4 (the two program structures fuse
+    the slab test differently, giving last-ulp depth differences).  Chunk
+    96 does not divide R, exercising the padded tail."""
+    from gpudrive_lab_tpu.scene.compiler import build_scene
+
+    scene = build_scene(
+        ["/root/reference/tests/pytest_data/test.json"], PARAMS
+    )
+    state = jax.jit(stepmod.reset, static_argnames="params")(
+        scene, None, PARAMS
+    )
+    A = scene.agents.valid.shape[1]
+    rng = np.random.default_rng(0)
+    acts = jnp.asarray(
+        rng.normal(size=(1, A, C.ACTION_DIM)).astype(np.float32)
+    )
+    dense = np.asarray(
+        lidar_observation(scene, state, PARAMS, acts, road_chunk=0)
+    )
+    for chunk in (64, 96):
+        part = np.asarray(
+            lidar_observation(scene, state, PARAMS, acts, road_chunk=chunk)
+        )
+        np.testing.assert_array_equal(part[..., 1], dense[..., 1])
+        np.testing.assert_allclose(part, dense, rtol=1e-4, atol=1e-4)
+
+
+def test_bev_gather_chunked_matches_dense():
+    """The gather-then-compute chunked BEV (first-K road selection +
+    per-world/agent-chunk lax.map) is bitwise-identical to the dense
+    [W, A, cells, R] reference path on a real scene — coverage tests and
+    paint-order composition are pure comparisons, so no float slop.
+    Pool scenes (R bucket 256) keep the dense oracle's [A, cells, R, 2]
+    lattice inside host memory — it OOMs at test.json's R=9984, which is
+    exactly why the chunked path exists."""
+    import glob
+
+    from gpudrive_lab_tpu.scene.compiler import build_scene
+
+    paths = sorted(glob.glob("data/pool_v3/*.json"))[:2]
+    scene = build_scene(paths, PARAMS, max_agents="auto")
+    state = jax.jit(stepmod.reset, static_argnames="params")(
+        scene, None, PARAMS
+    )
+    dense = np.asarray(bev_observation(scene, state, PARAMS, agent_chunk=0))
+    for chunk in (8, 5):  # 5 does not divide A: exercises wrapped padding
+        part = np.asarray(
+            bev_observation(scene, state, PARAMS, agent_chunk=chunk)
+        )
+        np.testing.assert_array_equal(part, dense)
