@@ -29,6 +29,17 @@ run train_w256_fused2 10800 python bench.py --train --worlds 256 --init-steps 11
     --rollout-mode unroll --packed-io --agent-bucket 64 \
     --train-iters 4 --repeats 2
 
+# 0b. Sensor benches with the memory-bounded paths (chain-B ran the dense
+#     code: lidar R=10240 and BEV both OOM'd 16 GB HBM).
+run bench_lidar_w64_v2 3600 python bench.py --worlds 64 --steps 91 --repeats 3 --lidar
+run bench_lidar_r10240_v2 3600 python bench.py --worlds 64 --steps 91 --repeats 3 \
+    --lidar --max-roads 10240
+run bench_bev_w8_v2 3600 python bench.py --worlds 8 --steps 91 --repeats 3 --bev
+
+# 0c. SB3 bench re-run: device-side controlled-row gather (the full-obs
+#     tunnel fetch measured 110 SPS in chain B).
+run bench_sb3_w32_v2 3600 python scripts/bench_sb3.py --worlds 32 --windows 2
+
 run campaign_10k 5400 env \
     DATA_DIR=data/pool_10k NUM_WORLDS=64 COMPACT=2048 COMPACT_MODE=flat \
     POLICY_DTYPE=bf16 PACKED_IO=1 AGENT_BUCKET=32 MAX_ROADS=256 \
