@@ -40,12 +40,23 @@ run bench_bev_w8_v2 3600 python bench.py --worlds 8 --steps 91 --repeats 3 --bev
 #     tunnel fetch measured 110 SPS in chain B).
 run bench_sb3_w32_v2 3600 python scripts/bench_sb3.py --worlds 32 --windows 2
 
-run campaign_10k 5400 env \
+# 0d. IL campaign re-run (VERDICT item 5): batch 4096 OOM'd HBM (the
+#     attention logits [B, 4, 328, 328] are 6.6 GB each in the backward);
+#     batch 512 bounds them at ~800 MB.
+run il_pool_v3b 7200 python -m gpudrive_lab_tpu.il.train \
+    --data-dir data/pool_v3 --num-worlds 32 --num-batches 8 --epochs 16 \
+    --batch-size 512 --lr 1e-3 --agent-bucket 32 --eval-heldout \
+    --out runs/bc_pool_v3.pkl
+
+# 30M steps: the pool-v3 curve converges by ~20-25M, and the shorter budget
+# keeps the whole chain inside the round (120 swaps x 64 worlds = 7,680
+# scene slots of the 10,240 pool).
+run campaign_10k 3600 env \
     DATA_DIR=data/pool_10k NUM_WORLDS=64 COMPACT=2048 COMPACT_MODE=flat \
     POLICY_DTYPE=bf16 PACKED_IO=1 AGENT_BUCKET=32 MAX_ROADS=256 \
-    ROAD_GATHER=dot RESAMPLE_INTERVAL=250000 CHUNK_TIMEOUT=5100 \
+    ROAD_GATHER=dot RESAMPLE_INTERVAL=250000 CHUNK_TIMEOUT=3400 \
     KEEP_NON_VEHICLES=1 \
-    bash scripts/ppo_campaign.sh 50000000 runs/campaign_10k
+    bash scripts/ppo_campaign.sh 30000000 runs/campaign_10k
 
 run campaign10k_eval_pool 3600 python scripts/eval_checkpoint.py \
     --checkpoint runs/campaign_10k/policy.pkl \
