@@ -178,11 +178,15 @@ def make_rnn_ppo_funcs(
             config.gamma, config.gae_lambda,
         )
 
-    def loss_fn(variables, mb, init_lstm):
+    def loss_fn(variables, mb, init_lstm, ent_coef):
         """BPTT replay over the whole rollout for a world minibatch.
         mb arrays: [T, Wm, A, ...]; init_lstm: ((Wm, A, H), (Wm, A, H)).
         The stored reset_pre reproduces the rollout's carry zeroing exactly
-        (agent done OR world auto-reset at the previous step)."""
+        (agent done OR world auto-reset at the previous step).  ent_coef is
+        a RUNTIME scalar so a host-side entropy-floor controller (the FF
+        trainer's, ppo/train.py) can adapt it without recompiling — the
+        first 50M-step BPTT campaign collapsed to zero-entropy do-nothing
+        without it (docs/PERFORMANCE.md round 5)."""
 
         def scan_body(lstm, xs):
             obs, reset_pre, action = xs
@@ -229,7 +233,7 @@ def make_rnn_ppo_funcs(
         pg_loss = (jnp.maximum(pg1, pg2) * m).sum() / msum
         v_loss = (0.5 * (newvalue - mb["ret"]) ** 2 * m).sum() / msum
         ent_loss = (entropy * m).sum() / msum
-        loss = pg_loss - config.ent_coef * ent_loss + config.vf_coef * v_loss
+        loss = pg_loss - ent_coef * ent_loss + config.vf_coef * v_loss
         approx_kl = (((ratio - 1.0) - logratio) * m).sum() / msum
         return loss, {
             "pg_loss": pg_loss, "v_loss": v_loss, "entropy": ent_loss,
@@ -239,7 +243,9 @@ def make_rnn_ppo_funcs(
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def train_step(scene, variables, opt_state, carry: RnnCarry,
-                   fresh: SimState, weights):
+                   fresh: SimState, weights, ent_coef=None):
+        if ent_coef is None:  # trace-time default: the static config value
+            ent_coef = jnp.float32(config.ent_coef)
         init_lstm = carry.lstm
         carry, traj = rollout(scene, variables, carry, fresh, weights)
         cidx = ctrl_slots(scene) if flat_mode else None
@@ -282,7 +288,7 @@ def make_rnn_ppo_funcs(
                 lstm0 = jax.tree.map(
                     lambda x: jnp.take(x, w_idx, axis=0), init_lstm
                 )
-                (loss, aux), grads = grad_fn(variables, mb, lstm0)
+                (loss, aux), grads = grad_fn(variables, mb, lstm0, ent_coef)
                 updates, opt_state = tx.update(grads, opt_state, variables)
                 variables = optax.apply_updates(variables, updates)
                 return (variables, opt_state), aux

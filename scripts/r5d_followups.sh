@@ -1,0 +1,26 @@
+#!/bin/bash
+# Round-5 chain D: follow-ups after chain C — RNN campaign re-run with the
+# entropy-floor controller (the un-floored 50M BPTT run collapsed to
+# zero-entropy do-nothing; runs/rnn_campaign).
+set -u
+cd "$(dirname "$0")/.."
+LOG=${1:-bench_logs}
+mkdir -p "$LOG"
+
+run() {
+  local name=$1 cap=$2; shift 2
+  echo "=== $name start $(date +%H:%M:%S) ===" | tee -a "$LOG/r5chain.log"
+  timeout "$cap" "$@" >"$LOG/$name.log" 2>&1
+  local rc=$?
+  echo "--- $name rc=$rc $(date +%H:%M:%S)" | tee -a "$LOG/r5chain.log"
+  if [ "$rc" -ne 0 ] && [ "$rc" -ne 124 ]; then
+    echo "WARN: $name failed rc=$rc (see $LOG/$name.log)" | tee -a "$LOG/r5chain.log"
+  fi
+}
+
+run rnn_campaign_floor 7200 python scripts/train_rnn.py --num-worlds 64 \
+    --compact 1024 --policy-dtype bf16 --obs-store bf16 --unroll \
+    --agent-bucket 64 --total-timesteps 50000000 --entropy-floor 2.0 \
+    --checkpoint-path runs/rnn_campaign2 --continue-training
+
+echo "R5DCHAIN_DONE $(date)" | tee -a "$LOG/r5chain.log"

@@ -30,6 +30,12 @@ def main():
     p.add_argument("--update-epochs", type=int, default=2)
     p.add_argument("--lstm-hidden", type=int, default=128)
     p.add_argument("--ent-coef", type=float, default=1e-3)
+    p.add_argument("--entropy-floor", type=float, default=0.0,
+                   help="adaptive entropy-coefficient controller (the FF "
+                        "campaign's, ppo/train.py): boost ent_coef x1.5 "
+                        "while entropy < floor, relax /1.2 above 2x floor. "
+                        "0 disables.  The un-floored 50M BPTT campaign "
+                        "collapsed to zero-entropy do-nothing (round 5).")
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--init-steps", type=int, default=11)
     p.add_argument("--compact", type=int, default=0,
@@ -147,13 +153,20 @@ def main():
     logf = open(log_path, "a")
     iteration = 0
     t_start = time.time()
+    ent_coef = args.ent_coef
     while global_step < args.total_timesteps:
         variables, opt_state, carry, metrics = train_fn(
             env.scene, variables, opt_state, carry, fresh,
-            env.reward_weights,
+            env.reward_weights, jnp.float32(ent_coef),
         )
         m = {k: float(np.asarray(v)) for k, v in metrics.items()}
         global_step += int(m.pop("samples"))
+        if args.entropy_floor > 0.0:
+            if m["entropy"] < args.entropy_floor:
+                ent_coef = min(ent_coef * 1.5, 0.1)
+            elif m["entropy"] > 2.0 * args.entropy_floor:
+                ent_coef = max(ent_coef / 1.2, args.ent_coef)
+            m["ent_coef"] = ent_coef
         iteration += 1
         if iteration % 5 == 0 or global_step >= args.total_timesteps:
             rec = dict(
