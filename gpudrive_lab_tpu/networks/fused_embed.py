@@ -91,8 +91,11 @@ def _fwd_kernel(x_ref, w1_ref, b1_ref, g_ref, be_ref, w2_ref, b2_ref,
     b2 = b2_ref[:]
     acc = jnp.full((_TB, H), -jnp.inf, jnp.float32)
     am = jnp.zeros((_TB, H), jnp.int32)
+    # cast the whole block once: slicing+reshaping a bf16 ref directly hits
+    # Mosaic "infer-vector-layout: unsupported shape cast" (bf16 obs store)
+    xb = x_ref[...].astype(jnp.float32)
     for e0, ec in _chunks(E):
-        xs = x_ref[:, e0:e0 + ec, :].reshape(_TB * ec, F)
+        xs = xb[:, e0:e0 + ec, :].reshape(_TB * ec, F)
         y, _ = _embed_chunk(xs, w1, b1, g, be, w2, b2, act, cd)
         y3 = y.reshape(_TB, ec, H)
         cmax = jnp.max(y3, axis=1)
@@ -129,8 +132,9 @@ def _bwd_kernel(x_ref, w1_ref, b1_ref, g_ref, be_ref, w2_ref, b2_ref,
     b2 = b2_ref[:]
     am = am_ref[:]
     dp = dp_ref[:].astype(jnp.float32)
+    xb = x_ref[...].astype(jnp.float32)  # see _fwd_kernel: bf16 layout cast
     for e0, ec in _chunks(E):
-        xs = x_ref[:, e0:e0 + ec, :].reshape(_TB * ec, F)
+        xs = xb[:, e0:e0 + ec, :].reshape(_TB * ec, F)
         y, (xh, rstd, t) = _embed_chunk(xs, w1, b1, g, be, w2, b2, act, cd)
         eidx = jax.lax.broadcasted_iota(jnp.int32, (_TB, ec, H), 1) + e0
         dY = jnp.where(eidx == am[:, None, :], dp[:, None, :], 0.0)

@@ -18,6 +18,16 @@ run() {
   fi
 }
 
+# Fused-embed train bench, third attempt: chain-C's died on a Mosaic bf16
+# layout cast inside the kernel (fixed: whole-block f32 cast before chunk
+# slicing; bf16 fwd+bwd AOT-verified at both production shapes).
+run train_w256_fused3 10800 python bench.py --train --worlds 256 --init-steps 11 \
+    --rollout-len 32 --num-minibatches 16 \
+    --compact 4096 --compact-mode flat --obs-store split-bf16 \
+    --policy-dtype bf16 --road-gather dot --fused-embed \
+    --rollout-mode unroll --packed-io --agent-bucket 64 \
+    --train-iters 4 --repeats 2
+
 run rnn_campaign_floor 7200 python scripts/train_rnn.py --num-worlds 64 \
     --compact 1024 --policy-dtype bf16 --obs-store bf16 --unroll \
     --agent-bucket 64 --total-timesteps 50000000 --entropy-floor 2.0 \
