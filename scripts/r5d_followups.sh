@@ -28,6 +28,12 @@ run train_w256_fused3 10800 python bench.py --train --worlds 256 --init-steps 11
     --rollout-mode unroll --packed-io --agent-bucket 64 \
     --train-iters 4 --repeats 2
 
+# Lidar at the forced R=10240 bucket, third formulation: world-group
+# mapping of the dense reduction (dense OOM'd; the 40-chunk road scan hung
+# the remote compiler >30 min).
+run bench_lidar_r10240_v3 2700 python bench.py --worlds 64 --steps 91 \
+    --repeats 3 --lidar --max-roads 10240
+
 run rnn_campaign_floor 7200 python scripts/train_rnn.py --num-worlds 64 \
     --compact 1024 --policy-dtype bf16 --obs-store bf16 --unroll \
     --agent-bucket 64 --total-timesteps 50000000 --entropy-floor 2.0 \

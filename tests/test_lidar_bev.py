@@ -189,6 +189,31 @@ def test_lidar_chunked_road_scan_matches_dense():
         np.testing.assert_allclose(part, dense, rtol=1e-4, atol=1e-4)
 
 
+def test_lidar_world_grouped_matches_dense():
+    """World-group mapping (the large-R memory strategy) matches the single
+    dense program: hit types exactly, float fields to 1e-4 (the lax.map
+    body fuses slightly differently -> last-ulp depth noise).  Group 3
+    does not divide W=4, exercising the padded group."""
+    scene = synthetic_scene(num_worlds=4, num_agents=4, num_roads=16)
+    state = jax.jit(stepmod.reset, static_argnames="params")(
+        scene, None, PARAMS
+    )
+    A = scene.agents.valid.shape[1]
+    rng = np.random.default_rng(1)
+    acts = jnp.asarray(
+        rng.normal(size=(4, A, C.ACTION_DIM)).astype(np.float32)
+    )
+    dense = np.asarray(
+        lidar_observation(scene, state, PARAMS, acts, world_group=4)
+    )
+    for wg in (1, 2, 3):
+        part = np.asarray(
+            lidar_observation(scene, state, PARAMS, acts, world_group=wg)
+        )
+        np.testing.assert_array_equal(part[..., 1], dense[..., 1])
+        np.testing.assert_allclose(part, dense, rtol=1e-4, atol=1e-4)
+
+
 def test_bev_gather_chunked_matches_dense():
     """The gather-then-compute chunked BEV (first-K road selection +
     per-world/agent-chunk lax.map) is bitwise-identical to the dense
