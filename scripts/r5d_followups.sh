@@ -34,6 +34,14 @@ run train_w256_fused3 10800 python bench.py --train --worlds 256 --init-steps 11
 run bench_lidar_r10240_v3 2700 python bench.py --worlds 64 --steps 91 \
     --repeats 3 --lidar --max-roads 10240
 
+# IL campaign, take 3: lr 1e-3 diverged (GMM NLL oscillated 14.6->29.0->
+# 11.3 on a CPU A/B; 3e-4 fell 8.97->3.56 over the same epochs).  Batch 256
+# halves dispatch count vs the proven 128 at the stable lr.
+run il_pool_v3c 7200 python -m gpudrive_lab_tpu.il.train \
+    --data-dir data/pool_v3 --num-worlds 32 --num-batches 8 --epochs 16 \
+    --batch-size 256 --lr 3e-4 --agent-bucket 32 --eval-heldout \
+    --out runs/bc_pool_v3.pkl
+
 run rnn_campaign_floor 7200 python scripts/train_rnn.py --num-worlds 64 \
     --compact 1024 --policy-dtype bf16 --obs-store bf16 --unroll \
     --agent-bucket 64 --total-timesteps 50000000 --entropy-floor 2.0 \
